@@ -1,0 +1,131 @@
+"""Frozen configuration for the SIFT scale-space frontend.
+
+Every default below is the exact constant used by the reference
+implementation (bingjetli/sift-scale-space-extrema-detection), cited by
+file:line so config parity is auditable:
+
+- ``num_octaves=5, scales_per_octave=3, min_blur_level=0.8,
+  assumed_blur=0.5, chunk_size=32``: reference/src/worker.js:33-37 and
+  reference/main.js:21-24.
+- ``min_interpixel_distance=0.5``: reference/src/worker.js:88.
+- ``contrast_threshold=0.015`` and the ``0.8`` pre-filter factor:
+  reference/src/sift.js:285-293.
+- ``edge_ratio=10`` (threshold ``(c+1)^2/c = 12.1``):
+  reference/background.js:598.
+- ``max_refine_iterations=5`` and ``convergence_threshold=0.6``:
+  reference/background.js:480, background.js:558.
+- kernel radius of 3 standard deviations: reference/src/sift.js:38.
+
+The TPU build adds static-shape capacities (``max_keypoints_per_trio``)
+because XLA requires fixed shapes; the reference uses dynamic JS arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    # --- reference algorithm constants -----------------------------------
+    num_octaves: int = 5
+    scales_per_octave: int = 3
+    min_blur_level: float = 0.8
+    assumed_blur: float = 0.5
+    chunk_size: int = 32  # display tiling in the reference; unused on TPU
+    min_interpixel_distance: float = 0.5
+    contrast_threshold: float = 0.015
+    contrast_prefilter_factor: float = 0.8
+    edge_ratio: float = 10.0
+    max_refine_iterations: int = 5
+    convergence_threshold: float = 0.6
+    kernel_radius_sigmas: float = 3.0
+
+    # --- TPU-native static-shape capacities ------------------------------
+    # Max extrema kept per (octave, trio). Fixed capacity + validity mask
+    # replaces the reference's dynamic candidate lists (SURVEY.md §7).
+    max_keypoints_per_trio: int = 1024
+
+    # ----------------------------------------------------------------------
+    @property
+    def scales_per_octave_total(self) -> int:
+        """Gaussian images per octave: s+3 (reference/background.js:106)."""
+        return self.scales_per_octave + 3
+
+    @property
+    def dog_per_octave(self) -> int:
+        """DoG images per octave: s+2 (reference/background.js:272)."""
+        return self.scales_per_octave + 2
+
+    @property
+    def trios_per_octave(self) -> int:
+        """Extrema trios per octave: DoG scales 1..s (background.js:377)."""
+        return self.scales_per_octave
+
+    @property
+    def k(self) -> float:
+        """Scale multiplier 2^(1/n_spo) (reference/background.js:100)."""
+        return math.pow(2.0, 1.0 / self.scales_per_octave)
+
+    @property
+    def contrast_threshold_scaled(self) -> float:
+        """Contrast threshold rescaled for scales_per_octave.
+
+        ``((2^(1/n) - 1) / (2^(1/3) - 1)) * 0.015``
+        (reference/src/sift.js:285). Evaluation order matches JS.
+        """
+        return (
+            (math.pow(2.0, 1.0 / self.scales_per_octave) - 1.0)
+            / (math.pow(2.0, 1.0 / 3.0) - 1.0)
+        ) * self.contrast_threshold
+
+    @property
+    def contrast_prefilter_threshold(self) -> float:
+        """Pre-filter threshold: thr * 0.8 (reference/src/sift.js:293)."""
+        return self.contrast_threshold_scaled * self.contrast_prefilter_factor
+
+    @property
+    def edge_threshold(self) -> float:
+        """Edge test threshold (c+1)^2/c (reference/background.js:598)."""
+        c = self.edge_ratio
+        return ((c + 1.0) * (c + 1.0)) / c
+
+    def max_keypoints_per_octave(self) -> int:
+        return self.max_keypoints_per_trio * self.trios_per_octave
+
+    def max_keypoints_total(self) -> int:
+        return self.max_keypoints_per_octave() * self.num_octaves
+
+    # --- blur ladder -------------------------------------------------------
+    def base_blur_level(self, octave: int) -> float:
+        """Blur level of an octave's base image.
+
+        Octave 0: min_blur_level (background.js:89).
+        Octave o>0: inherited from the previous octave's seed scale —
+        the running product 0.8 * 2^o computed exactly as the reference
+        does via repeated multiplication (background.js:114-122).
+        """
+        b = self.min_blur_level
+        for _ in range(octave):
+            # seed = scale `scales_per_octave` of the previous octave:
+            # blurLevel = base * k^spo, and k^spo = 2 exactly only in real
+            # arithmetic; replicate the float computation.
+            b = b * math.pow(self.k, self.scales_per_octave)
+        return b
+
+    def target_sigma(self, octave: int, scale: int) -> float:
+        """Absolute blur of (octave, scale): base * k^scale
+        (reference/background.js:157-173)."""
+        return self.base_blur_level(octave) * math.pow(self.k, scale)
+
+    def offset_sigma(self, octave: int, scale: int) -> float:
+        """Incremental blur applied to the octave base image to reach the
+        target blur (semigroup relation, reference/background.js:162-177).
+
+        Octave 0 blurs from ``assumed_blur``; octaves >0 blur from the
+        inherited base blur level.
+        """
+        target = self.target_sigma(octave, scale)
+        base = self.assumed_blur if octave == 0 else self.base_blur_level(octave)
+        return math.sqrt((target * target) - (base * base))

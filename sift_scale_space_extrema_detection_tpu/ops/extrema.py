@@ -1,0 +1,109 @@
+"""Vectorized 26-neighbor scale-space extrema detection.
+
+The reference scans interior pixels of each DoG trio with a scalar loop
+and strict comparisons against all 26 neighbors, plus a contrast
+pre-filter (reference/src/sift.js:212-316, background.js:359-450). Here
+the scan is a dense masked computation over the whole ``(D, H, W)`` DoG
+stack — shifted slices, a min/max reduction over the 26 neighbors, and a
+sort-based compaction into a fixed-capacity candidate buffer whose slot
+order matches the reference's row-major emission order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SiftConfig
+from ..core.types import Extrema
+
+
+def _trio_masks(dog: jax.Array, s: int, cfg: SiftConfig):
+    """Candidate / low-contrast masks for the trio centered at DoG scale s.
+
+    Returns boolean masks of shape (H-2, W-2) over interior pixels.
+    Strict extremality: center > max(26 neighbors) or < min(26) — ties and
+    plateaus rejected, matching ``Array.every`` with strict comparisons
+    (reference/src/sift.js:261-266).
+    """
+    h, w = dog.shape[-2], dog.shape[-1]
+    center = dog[s, 1 : h - 1, 1 : w - 1]
+
+    neighbor_min = None
+    neighbor_max = None
+    for ds in (-1, 0, 1):
+        plane = dog[s + ds]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                shifted = plane[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+                neighbor_min = (
+                    shifted if neighbor_min is None else jnp.minimum(neighbor_min, shifted)
+                )
+                neighbor_max = (
+                    shifted if neighbor_max is None else jnp.maximum(neighbor_max, shifted)
+                )
+
+    is_extremum = (center > neighbor_max) | (center < neighbor_min)
+    passes = jnp.abs(center) >= jnp.asarray(
+        cfg.contrast_prefilter_threshold, dog.dtype
+    )
+    return is_extremum & passes, is_extremum & ~passes
+
+
+def _compact(mask: jax.Array, values: jax.Array, capacity: int):
+    """Compact a 2-D interior mask into (y, x, value, valid) buffers.
+
+    Slot order is row-major over the interior — identical to the
+    reference's scan order (src/sift.js:221-222) — via an index sort.
+    """
+    hh, ww = mask.shape
+    size = hh * ww
+    flat_mask = mask.reshape(-1)
+    sentinel = jnp.asarray(size, jnp.int32)
+    idx = jnp.where(
+        flat_mask, jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1), sentinel
+    )
+    order = jax.lax.sort(idx)[:capacity]
+    valid = order < sentinel
+    safe = jnp.where(valid, order, 0)
+    y = safe // ww + 1
+    x = safe % ww + 1
+    value = values.reshape(-1)[safe]
+    return y.astype(jnp.int32), x.astype(jnp.int32), value, valid
+
+
+def find_extrema(dog: jax.Array, cfg: SiftConfig) -> Extrema:
+    """Candidate extrema for one octave's DoG stack ``(D, H, W)``.
+
+    Trios are centered at DoG scales ``1..D-2`` (background.js:377); the
+    output buffer concatenates per-trio compactions so the global slot
+    order matches the reference's (trio, row-major) iteration order used
+    later by refinement (background.js:468-479).
+    """
+    h, w = dog.shape[-2], dog.shape[-1]
+    cap = cfg.max_keypoints_per_trio
+    ys, xs, scale_levels, vals, valids = [], [], [], [], []
+    n_cand, n_low = [], []
+    for s in range(1, cfg.dog_per_octave - 1):
+        cand_mask, low_mask = _trio_masks(dog, s, cfg)
+        center = dog[s, 1 : h - 1, 1 : w - 1]
+        y, x, value, valid = _compact(cand_mask, center, cap)
+        ys.append(y)
+        xs.append(x)
+        scale_levels.append(jnp.full((cap,), s, jnp.int32))
+        vals.append(value)
+        valids.append(valid)
+        n_cand.append(jnp.sum(cand_mask, dtype=jnp.int32))
+        n_low.append(jnp.sum(low_mask, dtype=jnp.int32))
+
+    return Extrema(
+        y=jnp.concatenate(ys),
+        x=jnp.concatenate(xs),
+        scale_level=jnp.concatenate(scale_levels),
+        value=jnp.concatenate(vals),
+        valid=jnp.concatenate(valids),
+        num_candidates=jnp.stack(n_cand),
+        num_low_contrast=jnp.stack(n_low),
+    )

@@ -1,0 +1,218 @@
+"""Quadratic keypoint refinement (Newton iteration on the DoG cube).
+
+TPU-native rewrite of the reference's per-keypoint scalar loop
+(reference/background.js:455-685): a ``vmap`` over fixed-capacity
+candidate slots of a ``fori_loop`` with masked state updates. Each
+iteration gathers the 3×3×3 DoG neighborhood with ``dynamic_slice``,
+forms the gradient/Hessian by central differences
+(reference/src/sift.js:333-446), solves ``α = -H⁻¹ g`` via the closed-form
+adjugate inverse (reference/src/matrix2d.js:464-509) with the exact same
+floating-point evaluation order, and applies the reference's
+accept/reject ladder:
+
+- convergence: all ``|α_i| < 0.6`` (background.js:558)
+- contrast: ``|ω| < thr`` rejects, ω = value + ½·αᵀg (background.js:565-583)
+- edge: tr²/det of the spatial sub-Hessian > (c+1)²/c (background.js:589-604)
+- non-converged: step to ``round((s,m,n)+α)`` (JS round = floor(x+.5)) and
+  reject on leaving the valid interior (background.js:638-664)
+- singular Hessian: |det| < 2⁻⁵² — the reference returns null and crashes
+  (matrix2d.js:482); we reject with REJECT_SINGULAR_HESSIAN instead.
+
+ω uses the *original* extremum value even after the point moves — a
+reference quirk (background.js:565 reads ``extrema.value``) replicated
+here for parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SiftConfig
+from ..core.types import (
+    ACCEPTED,
+    REJECT_EDGE,
+    REJECT_LOW_CONTRAST,
+    REJECT_MAX_ITERATIONS,
+    REJECT_OUT_OF_BOUNDS,
+    REJECT_SINGULAR_HESSIAN,
+    Extrema,
+    Keypoints,
+)
+
+JS_EPSILON = 2.0 ** -52  # Number.EPSILON
+
+
+def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: SiftConfig):
+    """Refine a single candidate; all args traced scalars except statics."""
+    dtype = dog.dtype
+    d_scales, h, w = dog.shape
+    thr = cfg.contrast_threshold_scaled
+    edge_thr = cfg.edge_threshold
+    delta = math.pow(2.0, octave - 1)
+    sigma_coeff = (delta / cfg.min_interpixel_distance) * cfg.min_blur_level
+
+    zero = jnp.asarray(0.0, dtype)
+    init = dict(
+        s=s0.astype(jnp.int32),
+        m=m0.astype(jnp.int32),
+        n=n0.astype(jnp.int32),
+        done=~valid,
+        reason=jnp.where(valid, REJECT_MAX_ITERATIONS, -1).astype(jnp.int32),
+        abs_y=zero,
+        abs_x=zero,
+        abs_sigma=zero,
+        omega=zero,
+    )
+
+    def body(_, c):
+        s, m, n = c["s"], c["m"], c["n"]
+        cube = lax.dynamic_slice(dog, (s - 1, m - 1, n - 1), (3, 3, 3))
+
+        ctr = cube[1, 1, 1]
+        # Gradient [∂s, ∂m, ∂n]/2 (src/sift.js:333-353).
+        g0 = (cube[2, 1, 1] - cube[0, 1, 1]) / 2
+        g1 = (cube[1, 2, 1] - cube[1, 0, 1]) / 2
+        g2 = (cube[1, 1, 2] - cube[1, 1, 0]) / 2
+        # Hessian entries (src/sift.js:377-446), exact JS op order.
+        h11 = cube[2, 1, 1] + cube[0, 1, 1] - (2 * ctr)
+        h22 = cube[1, 2, 1] + cube[1, 0, 1] - (2 * ctr)
+        h33 = cube[1, 1, 2] + cube[1, 1, 0] - (2 * ctr)
+        h12 = (cube[2, 2, 1] - cube[2, 0, 1] - cube[0, 2, 1] + cube[0, 0, 1]) / 4
+        h13 = (cube[2, 1, 2] - cube[2, 1, 0] - cube[0, 1, 2] + cube[0, 1, 0]) / 4
+        h23 = (cube[1, 2, 2] - cube[1, 2, 0] - cube[1, 0, 2] + cube[1, 0, 0]) / 4
+
+        # Minors of the symmetric Hessian (matrix2d.js:303-336), 2x2 dets
+        # evaluated as (ad)-(bc) (matrix2d.js:211).
+        m00 = (h22 * h33) - (h23 * h23)
+        m01 = (h12 * h33) - (h23 * h13)
+        m02 = (h12 * h23) - (h22 * h13)
+        m10 = (h12 * h33) - (h13 * h23)
+        m11 = (h11 * h33) - (h13 * h13)
+        m12 = (h11 * h23) - (h12 * h13)
+        m20 = (h12 * h23) - (h13 * h22)
+        m21 = (h11 * h23) - (h13 * h12)
+        m22 = (h11 * h22) - (h12 * h12)
+        det = (h11 * m00) - (h12 * m01) + (h13 * m02)
+
+        singular = jnp.abs(det) < jnp.asarray(JS_EPSILON, dtype)
+        det_safe = jnp.where(singular, jnp.asarray(1.0, dtype), det)
+
+        # inv = adjugate/det; α_i = Σ_j (-inv[i][j])·g_j in JS matvec order
+        # (matrix2d.js:514-541 via background.js:546-554).
+        i00 = m00 / det_safe
+        i01 = -(m10 / det_safe)
+        i02 = m20 / det_safe
+        i10 = -(m01 / det_safe)
+        i11 = m11 / det_safe
+        i12 = -(m21 / det_safe)
+        i20 = m02 / det_safe
+        i21 = -(m12 / det_safe)
+        i22 = m22 / det_safe
+        a0 = ((-i00) * g0) + ((-i01) * g1) + ((-i02) * g2)
+        a1 = ((-i10) * g0) + ((-i11) * g1) + ((-i12) * g2)
+        a2 = ((-i20) * g0) + ((-i21) * g1) + ((-i22) * g2)
+
+        lim = jnp.asarray(cfg.convergence_threshold, dtype)
+        converged = (jnp.abs(a0) < lim) & (jnp.abs(a1) < lim) & (jnp.abs(a2) < lim)
+
+        omega = value + (
+            ((0.5 * a0) * g0) + ((0.5 * a1) * g1) + ((0.5 * a2) * g2)
+        )
+        contrast_fail = jnp.abs(omega) < jnp.asarray(thr, dtype)
+
+        tr = h22 + h33
+        det2 = (h22 * h33) - (h23 * h23)
+        # Division by zero follows IEEE (inf/nan) exactly like JS; a NaN
+        # edgeness compares false and therefore passes, as in the reference.
+        edgeness = (tr * tr) / det2
+        edge_fail = edgeness > jnp.asarray(edge_thr, dtype)
+
+        accepted = converged & ~contrast_fail & ~edge_fail
+
+        # Non-converged: step to round((s,m,n) + α), JS floor(x+0.5).
+        sf = s.astype(dtype)
+        mf = m.astype(dtype)
+        nf = n.astype(dtype)
+        new_s = jnp.floor((sf + a0) + 0.5).astype(jnp.int32)
+        new_m = jnp.floor((mf + a1) + 0.5).astype(jnp.int32)
+        new_n = jnp.floor((nf + a2) + 0.5).astype(jnp.int32)
+        oob = (
+            (new_s < 1)
+            | (new_s >= d_scales - 1)
+            | (new_m < 1)
+            | (new_m >= h - 1)
+            | (new_n < 1)
+            | (new_n >= w - 1)
+        )
+
+        active = ~c["done"]
+        finish_singular = active & singular
+        finish_converged = active & ~singular & converged
+        stepping = active & ~singular & ~converged
+        finish_oob = stepping & oob
+
+        reason = c["reason"]
+        reason = jnp.where(finish_singular, REJECT_SINGULAR_HESSIAN, reason)
+        reason = jnp.where(
+            finish_converged,
+            jnp.where(
+                contrast_fail,
+                REJECT_LOW_CONTRAST,
+                jnp.where(edge_fail, REJECT_EDGE, ACCEPTED),
+            ),
+            reason,
+        )
+        reason = jnp.where(finish_oob, REJECT_OUT_OF_BOUNDS, reason)
+
+        record = finish_converged & accepted
+        abs_y = jnp.where(record, delta * (a1 + mf), c["abs_y"])
+        abs_x = jnp.where(record, delta * (a2 + nf), c["abs_x"])
+        abs_sigma = jnp.where(
+            record,
+            sigma_coeff * jnp.exp2((a0 + sf) / cfg.scales_per_octave),
+            c["abs_sigma"],
+        )
+        omega_out = jnp.where(record, omega, c["omega"])
+
+        advance = stepping & ~oob
+        return dict(
+            s=jnp.where(advance, new_s, s),
+            m=jnp.where(advance, new_m, m),
+            n=jnp.where(advance, new_n, n),
+            done=c["done"] | finish_singular | finish_converged | finish_oob,
+            reason=reason,
+            abs_y=abs_y,
+            abs_x=abs_x,
+            abs_sigma=abs_sigma,
+            omega=omega_out,
+        )
+
+    out = lax.fori_loop(0, cfg.max_refine_iterations, body, init)
+    return out
+
+
+def refine_keypoints(
+    dog: jax.Array, extrema: Extrema, octave: int, cfg: SiftConfig
+) -> Keypoints:
+    """Refine all candidate slots of one octave. dog: ``(D, H, W)``."""
+    refined = jax.vmap(
+        lambda s, m, n, v, ok: _refine_one(dog, s, m, n, v, ok, octave, cfg)
+    )(extrema.scale_level, extrema.y, extrema.x, extrema.value, extrema.valid)
+
+    reason = refined["reason"]
+    return Keypoints(
+        octave=jnp.full_like(reason, octave),
+        scale_level=refined["s"],
+        local_y=refined["m"],
+        local_x=refined["n"],
+        abs_y=refined["abs_y"],
+        abs_x=refined["abs_x"],
+        abs_sigma=refined["abs_sigma"],
+        value=refined["omega"],
+        valid=reason == ACCEPTED,
+        reject_reason=reason,
+    )

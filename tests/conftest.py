@@ -1,0 +1,54 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (the standard JAX fake-cluster
+trick, SURVEY.md §4) and float64 enabled so the parity path can bit-match
+the reference oracle. Must run before any jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding the env var — force CPU back before any backend init.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def test_image():
+    """Deterministic synthetic grayscale test image in [0,1], float64.
+
+    Smooth blobs + gradient + noise: produces a healthy keypoint
+    population across octaves at a size small enough for the exact-order
+    oracle to run the full 5-octave pipeline quickly.
+    """
+    rng = np.random.default_rng(42)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 0.4 + 0.2 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+    for cy, cx, r, a in [(12, 16, 3.0, 0.5), (30, 40, 5.0, -0.35), (20, 52, 2.0, 0.45), (38, 10, 4.0, 0.3)]:
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))
+    img += 0.05 * rng.standard_normal((h, w))
+    img = np.clip(img, 0.0, 1.0)
+    # Quantize to 8-bit-like levels as a real image load would.
+    img = np.round(img * 255.0) / 255.0
+    return img
+
+
+@pytest.fixture(scope="session")
+def oracle_result(test_image):
+    """Full reference-oracle pipeline output (cached per session)."""
+    from sift_scale_space_extrema_detection_tpu.utils import oracle
+
+    return oracle.detect(test_image)
