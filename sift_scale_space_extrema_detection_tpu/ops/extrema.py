@@ -65,6 +65,8 @@ def _compact(mask: jax.Array, values: jax.Array, capacity: int):
     idx = jnp.where(
         flat_mask, jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1), sentinel
     )
+    if size < capacity:
+        idx = jnp.pad(idx, (0, capacity - size), constant_values=size)
     order = jax.lax.sort(idx)[:capacity]
     valid = order < sentinel
     safe = jnp.where(valid, order, 0)
