@@ -24,11 +24,16 @@ from .models.frontend import (
     build_dog,
     build_scale_space,
     detect,
+    detect_and_describe,
+    detect_and_describe_batched,
+    detect_and_describe_batched_jit,
+    detect_and_describe_jit,
     detect_batched,
     detect_batched_jit,
     detect_from_dog,
     detect_jit,
 )
+from .ops.descriptor import DescribedKeypoints
 
 __version__ = "0.1.0"
 
@@ -36,6 +41,11 @@ __all__ = [
     "SiftConfig",
     "Extrema",
     "Keypoints",
+    "DescribedKeypoints",
+    "detect_and_describe",
+    "detect_and_describe_jit",
+    "detect_and_describe_batched",
+    "detect_and_describe_batched_jit",
     "build_scale_space",
     "build_dog",
     "detect",

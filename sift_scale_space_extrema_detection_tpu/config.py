@@ -47,6 +47,26 @@ class SiftConfig:
     # replaces the reference's dynamic candidate lists (SURVEY.md §7).
     max_keypoints_per_trio: int = 1024
 
+    # --- descriptor extension (green-field; reference stops before
+    # descriptors, reference/readme.md:11). Constants follow the IPOL
+    # "Anatomy of the SIFT Method" paper bundled with the reference
+    # (anatomy-of-the-sift-method.pdf): λ_ori, λ_descr, bin counts,
+    # smoothing and peak-ratio rules. The sampling itself is redesigned
+    # TPU-first: fixed G×G grid samples in (rotated) keypoint frame with
+    # bilinear gradient interpolation and one-hot einsum histograms,
+    # instead of data-dependent pixel windows.
+    lambda_ori: float = 1.5
+    lambda_descr: float = 6.0
+    n_orientation_bins: int = 36
+    orientation_smooth_iterations: int = 6
+    orientation_peak_ratio: float = 0.8
+    max_orientations_per_keypoint: int = 2
+    orientation_grid_size: int = 16  # G×G samples for the ori histogram
+    descriptor_n_hist: int = 4  # 4×4 spatial cells
+    descriptor_n_ori: int = 8  # 8 orientation bins -> 128-D
+    descriptor_grid_size: int = 16  # G×G samples for the descriptor
+    descriptor_clip: float = 0.2  # component clamp before renormalize
+
     # ----------------------------------------------------------------------
     @property
     def scales_per_octave_total(self) -> int:

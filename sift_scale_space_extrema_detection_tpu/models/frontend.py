@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from ..core.types import Extrema, Keypoints, concat_keypoints
+from ..ops.descriptor import DescribedKeypoints, concat_described, describe_octave
 from ..ops.dog import difference_of_gaussians
 from ..ops.extrema import find_extrema
 from ..ops.gaussian import blur_exact, blur_matmul, blur_separable
@@ -111,6 +112,64 @@ def detect_batched(
         return detect_from_dog(list(dog_octaves), cfg)
 
     return jax.vmap(_detect_one)(*dog)
+
+
+def detect_and_describe(
+    image: jax.Array, cfg: SiftConfig, blur: str = "separable"
+) -> DescribedKeypoints:
+    """Full frontend: ``(H, W)`` grayscale → oriented, described keypoints.
+
+    Stages 1–4 of the reference pipeline plus the descriptor extension
+    (BASELINE.json config[2]): per octave, refined keypoints are assigned
+    up to ``max_orientations_per_keypoint`` orientations and 128-D
+    descriptors from the octave's Gaussian stack.
+    """
+    scale_space = build_scale_space(image, cfg, blur)
+    dog = build_dog(scale_space)
+    described = []
+    for octave, (stack, d) in enumerate(zip(scale_space, dog)):
+        extrema = find_extrema(d, cfg)
+        keypoints = refine_keypoints(d, extrema, octave, cfg)
+        described.append(describe_octave(stack, keypoints, octave, cfg))
+    return concat_described(described)
+
+
+def detect_and_describe_batched(
+    images: jax.Array, cfg: SiftConfig, blur: str = "separable"
+) -> DescribedKeypoints:
+    """Batched frontend: ``(B, H, W)`` → described keypoints per image.
+
+    The pyramid build is natively batched; per-image stages vmap over the
+    leading axis.
+    """
+    scale_space = build_scale_space(images, cfg, blur)
+    dog = build_dog(scale_space)
+
+    def one(*stacks_and_dogs):
+        stacks = stacks_and_dogs[: cfg.num_octaves]
+        dogs = stacks_and_dogs[cfg.num_octaves :]
+        described = []
+        for octave, (stack, d) in enumerate(zip(stacks, dogs)):
+            extrema = find_extrema(d, cfg)
+            keypoints = refine_keypoints(d, extrema, octave, cfg)
+            described.append(describe_octave(stack, keypoints, octave, cfg))
+        return concat_described(described)
+
+    return jax.vmap(one)(*scale_space, *dog)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "blur"))
+def detect_and_describe_jit(
+    image: jax.Array, cfg: SiftConfig, blur: str = "separable"
+) -> DescribedKeypoints:
+    return detect_and_describe(image, cfg, blur)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "blur"))
+def detect_and_describe_batched_jit(
+    images: jax.Array, cfg: SiftConfig, blur: str = "separable"
+) -> DescribedKeypoints:
+    return detect_and_describe_batched(images, cfg, blur)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "blur"))

@@ -1,0 +1,326 @@
+"""Orientation assignment and 128-D SIFT descriptors (TPU-native).
+
+Green-field extension: the reference implements neither orientations nor
+descriptors (reference/readme.md:11); BASELINE.json config[2] requires
+them. Algorithm constants follow the IPOL *Anatomy of the SIFT Method*
+paper bundled with the reference (λ_ori=1.5, λ_descr=6, 36 ori bins,
+4×4×8 histograms, 0.8 peak ratio, 0.2 descriptor clamp).
+
+TPU-first design (instead of the paper's data-dependent pixel windows):
+
+- Every keypoint samples a **fixed G×G grid** in its (rotated, σ-scaled)
+  local frame via bilinear interpolation of the octave gradient maps —
+  static shapes, pure gathers, vmap over fixed-capacity keypoint slots.
+- Histograms are built as **one-hot einsums** (sample → bin soft
+  assignments contracted on the MXU), not scatter-adds.
+- Orientation peaks use masked ``top_k`` over the smoothed histogram with
+  parabolic interpolation — up to ``max_orientations_per_keypoint``
+  oriented copies per keypoint slot, each a fixed output slot.
+
+Geometry notes: the octave's inter-pixel distance is ``δ_o = 2^(o-1)``
+(reference/background.js:610-614); a keypoint's octave-local position is
+``abs/δ_o`` and its octave-local scale ``σ_loc = abs_sigma/δ_o``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SiftConfig
+from ..core.types import Keypoints
+from .sampling import bilinear_sample, scale_space_gradients
+
+TWO_PI = 2.0 * math.pi
+
+
+@struct.dataclass
+class DescribedKeypoints:
+    """Oriented keypoints + descriptors, fixed capacity struct-of-arrays.
+
+    One slot per (keypoint slot, orientation peak); capacity is
+    ``kp_capacity * max_orientations_per_keypoint``.
+    """
+
+    octave: jax.Array  # (N,) int32
+    scale_level: jax.Array  # (N,) int32
+    abs_y: jax.Array  # (N,) float
+    abs_x: jax.Array  # (N,) float
+    abs_sigma: jax.Array  # (N,) float
+    theta: jax.Array  # (N,) float orientation in [0, 2π)
+    descriptor: jax.Array  # (N, 128) float32, L2-ish normalized
+    valid: jax.Array  # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.octave.shape[-1]
+
+
+def concat_described(parts: list[DescribedKeypoints]) -> DescribedKeypoints:
+    return jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=-2 if xs[0].ndim > 1 else -1),
+        *parts,
+    )
+
+
+def _keypoint_gradient_samples(
+    gy_stack: jax.Array,
+    gx_stack: jax.Array,
+    scale_level: jax.Array,
+    ys: jax.Array,
+    xs: jax.Array,
+):
+    """Bilinear gradient samples at float positions on one scale plane."""
+    gy_plane = jax.lax.dynamic_index_in_dim(
+        gy_stack, scale_level, axis=0, keepdims=False
+    )
+    gx_plane = jax.lax.dynamic_index_in_dim(
+        gx_stack, scale_level, axis=0, keepdims=False
+    )
+    return bilinear_sample(gy_plane, ys, xs), bilinear_sample(gx_plane, ys, xs)
+
+
+def _inbounds_mask(ys, xs, h, w):
+    """Interior mask: gradients need one pixel margin (central diffs)."""
+    return (ys >= 1.0) & (ys <= h - 2.0) & (xs >= 1.0) & (xs <= w - 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Orientation assignment
+# ---------------------------------------------------------------------------
+
+
+def _orientation_histogram_one(
+    gy_stack, gx_stack, y_loc, x_loc, sigma_loc, scale_level, cfg: SiftConfig
+):
+    """36-bin orientation histogram for one keypoint (fixed G×G samples)."""
+    g = cfg.orientation_grid_size
+    nbins = cfg.n_orientation_bins
+    h, w = gy_stack.shape[-2], gy_stack.shape[-1]
+    dtype = gy_stack.dtype
+
+    radius = 3.0 * cfg.lambda_ori * sigma_loc
+    u = jnp.linspace(-1.0, 1.0, g, dtype=dtype)
+    dy = u[:, None] * radius  # (G, 1)
+    dx = u[None, :] * radius  # (1, G)
+    ys = jnp.broadcast_to(y_loc + dy + jnp.zeros_like(dx), (g, g)).reshape(-1)
+    xs = jnp.broadcast_to(x_loc + dx + jnp.zeros_like(dy), (g, g)).reshape(-1)
+    d2 = jnp.broadcast_to(dy * dy + dx * dx, (g, g)).reshape(-1)
+
+    gy, gx = _keypoint_gradient_samples(gy_stack, gx_stack, scale_level, ys, xs)
+    mag = jnp.sqrt(gy * gy + gx * gx)
+    theta = jnp.arctan2(gy, gx) % TWO_PI
+
+    sig2 = 2.0 * (cfg.lambda_ori * sigma_loc) ** 2
+    weight = jnp.exp(-d2 / sig2) * mag
+    weight = jnp.where(d2 <= radius * radius, weight, 0.0)
+    weight = jnp.where(_inbounds_mask(ys, xs, h, w), weight, 0.0)
+
+    bin_idx = jnp.floor(theta / TWO_PI * nbins).astype(jnp.int32) % nbins
+    onehot = jax.nn.one_hot(bin_idx, nbins, dtype=dtype)  # (G², nbins)
+    return weight @ onehot  # (nbins,)
+
+
+def _smooth_circular(hist: jax.Array, iterations: int) -> jax.Array:
+    """IPOL smoothing: circular [1,1,1]/3 box filter applied N times."""
+    for _ in range(iterations):
+        hist = (
+            jnp.roll(hist, 1, axis=-1) + hist + jnp.roll(hist, -1, axis=-1)
+        ) / 3.0
+    return hist
+
+
+def _extract_peaks(hist: jax.Array, cfg: SiftConfig):
+    """Top-K orientation peaks with parabolic interpolation.
+
+    A bin is a peak iff it strictly exceeds both circular neighbors and
+    reaches ``peak_ratio * max`` (IPOL §4.1). Returns ``(theta, valid)``
+    of shape ``(max_orientations,)``.
+    """
+    nbins = cfg.n_orientation_bins
+    prev = jnp.roll(hist, 1, axis=-1)
+    nxt = jnp.roll(hist, -1, axis=-1)
+    is_peak = (hist > prev) & (hist > nxt)
+    is_peak &= hist >= cfg.orientation_peak_ratio * jnp.max(hist, axis=-1)
+
+    score = jnp.where(is_peak, hist, -jnp.inf)
+    top_vals, top_idx = jax.lax.top_k(score, cfg.max_orientations_per_keypoint)
+    valid = jnp.isfinite(top_vals) & (top_vals > 0.0)
+
+    hk = hist[top_idx]
+    hp = prev[top_idx]
+    hn = nxt[top_idx]
+    denom = hp - 2.0 * hk + hn
+    offset = jnp.where(
+        jnp.abs(denom) > 1e-12, (hp - hn) / (2.0 * denom), 0.0
+    )
+    theta = ((top_idx.astype(hist.dtype) + 0.5 + offset) / nbins) * TWO_PI
+    return theta % TWO_PI, valid
+
+
+def assign_orientations(
+    octave_stack: jax.Array, keypoints: Keypoints, octave: int, cfg: SiftConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Orientations for all keypoint slots of one octave.
+
+    ``octave_stack``: Gaussian images ``(S, H, W)``. Returns
+    ``(theta, valid)`` shaped ``(N, max_orientations)``; ``valid`` is
+    ANDed with the keypoint slot validity.
+    """
+    gy, gx = scale_space_gradients(octave_stack)
+    delta = 2.0 ** (octave - 1)
+
+    def one(kp_y, kp_x, kp_sigma, s, ok):
+        hist = _orientation_histogram_one(
+            gy, gx, kp_y / delta, kp_x / delta, kp_sigma / delta, s, cfg
+        )
+        hist = _smooth_circular(hist, cfg.orientation_smooth_iterations)
+        theta, valid = _extract_peaks(hist, cfg)
+        return theta, valid & ok
+
+    return jax.vmap(one)(
+        keypoints.abs_y,
+        keypoints.abs_x,
+        keypoints.abs_sigma,
+        keypoints.scale_level,
+        keypoints.valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 128-D descriptor
+# ---------------------------------------------------------------------------
+
+
+def _descriptor_one(
+    gy_stack, gx_stack, y_loc, x_loc, sigma_loc, theta, scale_level, cfg: SiftConfig
+):
+    """One 4×4×8 descriptor via fixed-grid sampling in the rotated frame."""
+    g = cfg.descriptor_grid_size
+    nh = cfg.descriptor_n_hist
+    no = cfg.descriptor_n_ori
+    lam = cfg.lambda_descr
+    h, w = gy_stack.shape[-2], gy_stack.shape[-1]
+    dtype = gy_stack.dtype
+
+    # Normalized sample coordinates x̂,ŷ ∈ [-r̂, r̂], r̂ = λ·(nh+1)/nh
+    # (the (nh+1)/nh margin feeds the outer cells' bilinear support).
+    rhat = lam * (nh + 1.0) / nh
+    u = jnp.linspace(-rhat, rhat, g, dtype=dtype)
+    yhat = jnp.broadcast_to(u[:, None], (g, g)).reshape(-1)
+    xhat = jnp.broadcast_to(u[None, :], (g, g)).reshape(-1)
+
+    # Rotate into image frame and scale by σ_loc.
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    ys = y_loc + sigma_loc * (st * xhat + ct * yhat)
+    xs = x_loc + sigma_loc * (ct * xhat - st * yhat)
+
+    gy, gx = _keypoint_gradient_samples(gy_stack, gx_stack, scale_level, ys, xs)
+    mag = jnp.sqrt(gy * gy + gx * gx)
+    ang = (jnp.arctan2(gy, gx) - theta) % TWO_PI
+
+    d2 = yhat * yhat + xhat * xhat
+    weight = jnp.exp(-d2 / (2.0 * lam * lam)) * mag
+    weight = jnp.where(_inbounds_mask(ys, xs, h, w), weight, 0.0)
+
+    # Spatial bilinear soft assignment to nh cells per axis. Cell centers
+    # sit at ĉ_i = (i - (nh-1)/2) * (2λ/nh); cell coordinate:
+    a_y = yhat * nh / (2.0 * lam) + (nh - 1.0) / 2.0
+    a_x = xhat * nh / (2.0 * lam) + (nh - 1.0) / 2.0
+
+    def bilinear_onehot(a, n):
+        i0 = jnp.floor(a)
+        f = a - i0
+        i0i = i0.astype(jnp.int32)
+        w0 = jnp.where((i0i >= 0) & (i0i < n), 1.0 - f, 0.0)
+        w1 = jnp.where((i0i + 1 >= 0) & (i0i + 1 < n), f, 0.0)
+        oh0 = jax.nn.one_hot(jnp.clip(i0i, 0, n - 1), n, dtype=dtype) * w0[:, None]
+        oh1 = (
+            jax.nn.one_hot(jnp.clip(i0i + 1, 0, n - 1), n, dtype=dtype)
+            * w1[:, None]
+        )
+        return oh0 + oh1  # (G², n)
+
+    wy = bilinear_onehot(a_y, nh)
+    wx = bilinear_onehot(a_x, nh)
+
+    # Circular linear assignment over orientation bins.
+    b = ang / TWO_PI * no
+    b0 = jnp.floor(b)
+    fb = b - b0
+    b0i = b0.astype(jnp.int32) % no
+    b1i = (b0i + 1) % no
+    wo = (
+        jax.nn.one_hot(b0i, no, dtype=dtype) * (1.0 - fb)[:, None]
+        + jax.nn.one_hot(b1i, no, dtype=dtype) * fb[:, None]
+    )
+
+    desc = jnp.einsum(
+        "p,py,px,po->yxo", weight, wy, wx, wo, preferred_element_type=dtype
+    ).reshape(-1)
+
+    # Normalize, clamp at 0.2·‖d‖, renormalize (Lowe/IPOL).
+    norm = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
+    desc = jnp.minimum(desc, cfg.descriptor_clip * norm)
+    norm2 = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
+    return desc / norm2
+
+
+def compute_descriptors(
+    octave_stack: jax.Array,
+    keypoints: Keypoints,
+    theta: jax.Array,
+    ori_valid: jax.Array,
+    octave: int,
+    cfg: SiftConfig,
+) -> DescribedKeypoints:
+    """Descriptors for one octave's keypoints × orientation peaks.
+
+    ``theta``/``ori_valid``: ``(N, max_orientations)`` from
+    :func:`assign_orientations`. Output capacity ``N * max_orientations``.
+    """
+    gy, gx = scale_space_gradients(octave_stack)
+    delta = 2.0 ** (octave - 1)
+    n_ori = cfg.max_orientations_per_keypoint
+
+    def one(kp_y, kp_x, kp_sigma, s, th):
+        return _descriptor_one(
+            gy, gx, kp_y / delta, kp_x / delta, kp_sigma / delta, th, s, cfg
+        )
+
+    # vmap over (slot, orientation) pairs.
+    flat_theta = theta.reshape(-1)
+    rep = lambda v: jnp.repeat(v, n_ori, axis=0)
+    desc = jax.vmap(one)(
+        rep(keypoints.abs_y),
+        rep(keypoints.abs_x),
+        rep(keypoints.abs_sigma),
+        rep(keypoints.scale_level),
+        flat_theta,
+    )
+    valid = ori_valid.reshape(-1)
+
+    return DescribedKeypoints(
+        octave=rep(keypoints.octave),
+        scale_level=rep(keypoints.scale_level),
+        abs_y=rep(keypoints.abs_y),
+        abs_x=rep(keypoints.abs_x),
+        abs_sigma=rep(keypoints.abs_sigma),
+        theta=flat_theta,
+        descriptor=desc.astype(jnp.float32),
+        valid=valid,
+    )
+
+
+def describe_octave(
+    octave_stack: jax.Array, keypoints: Keypoints, octave: int, cfg: SiftConfig
+) -> DescribedKeypoints:
+    """Orientation assignment + descriptors for one octave."""
+    theta, ori_valid = assign_orientations(octave_stack, keypoints, octave, cfg)
+    return compute_descriptors(
+        octave_stack, keypoints, theta, ori_valid, octave, cfg
+    )

@@ -1,0 +1,56 @@
+"""Bilinear sampling and scale-space gradients.
+
+Building blocks for the descriptor extension (green-field: the reference
+stops before orientation/descriptors, reference/readme.md:11). Gradients
+follow the IPOL Anatomy-of-SIFT convention: central differences on the
+Gaussian scale-space images, matching the reference's own gradient
+operator used in refinement (reference/src/sift.js:333-353).
+
+All functions are shape-polymorphic over leading batch dims and
+jit/vmap-friendly; samplers clamp to the image border (the reference's
+clamp-to-edge rule, reference/src/sift.js:116-119).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def scale_space_gradients(stack: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel central-difference gradients of a scale-space stack.
+
+    ``stack``: ``(..., H, W)``. Returns ``(gy, gx)`` with the same shape;
+    borders use one-sided zero-padded differences (border gradients are
+    never sampled by the windows, which stay in the interior).
+    """
+    gy = (jnp.roll(stack, -1, axis=-2) - jnp.roll(stack, 1, axis=-2)) / 2.0
+    gx = (jnp.roll(stack, -1, axis=-1) - jnp.roll(stack, 1, axis=-1)) / 2.0
+    return gy, gx
+
+
+def bilinear_sample(image: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Bilinearly sample ``image`` (H, W) at float positions (ys, xs).
+
+    Positions outside the image are clamped to the border (clamp-to-edge,
+    consistent with the reference border rule). ``ys``/``xs`` may have any
+    broadcastable shape; returns samples of that shape.
+    """
+    h, w = image.shape[-2], image.shape[-1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+
+    v00 = image[y0i, x0i]
+    v01 = image[y0i, x1i]
+    v10 = image[y1i, x0i]
+    v11 = image[y1i, x1i]
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
