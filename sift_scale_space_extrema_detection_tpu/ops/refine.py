@@ -1,9 +1,10 @@
 """Quadratic keypoint refinement (Newton iteration on the DoG cube).
 
 TPU-native rewrite of the reference's per-keypoint scalar loop
-(reference/background.js:455-685): a ``vmap`` over fixed-capacity
-candidate slots of a ``fori_loop`` with masked state updates. Each
-iteration gathers the 3×3×3 DoG neighborhood with ``dynamic_slice``,
+(reference/background.js:455-685): plain array code over all
+fixed-capacity candidate slots at once with masked state updates and
+statically unrolled iterations. Each iteration gathers the 3×3×3 DoG
+neighborhood as one flat 27-element ``jnp.take``,
 forms the gradient/Hessian by central differences
 (reference/src/sift.js:333-446), solves ``α = -H⁻¹ g`` via the closed-form
 adjugate inverse (reference/src/matrix2d.js:464-509) with the exact same
@@ -46,17 +47,58 @@ from ..core.types import (
 JS_EPSILON = 2.0 ** -52  # Number.EPSILON
 
 
-def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: SiftConfig):
-    """Refine a single candidate; all args traced scalars except statics."""
+def _refine_vectorized(
+    dog: jax.Array,
+    s0: jax.Array,
+    m0: jax.Array,
+    n0: jax.Array,
+    value: jax.Array,
+    valid: jax.Array,
+    octave: int,
+    cfg: SiftConfig,
+):
+    """Vectorized Newton refinement over all candidate slots at once.
+
+    Structured as plain array code over ``(N,)`` state with ONE flat
+    27-element gather per iteration (``jnp.take`` on the flattened DoG
+    volume) rather than a per-keypoint ``dynamic_slice`` under ``vmap``
+    — the latter lowered to a pathological gather pattern on TPU
+    (measured ~8.1 s of the 9.6 s frontend batch). Iterations unroll
+    statically (``max_refine_iterations`` = 5). Float op order per
+    element matches the reference exactly (see module docstring).
+    """
     dtype = dog.dtype
     d_scales, h, w = dog.shape
     thr = cfg.contrast_threshold_scaled
     edge_thr = cfg.edge_threshold
     delta = math.pow(2.0, octave - 1)
     sigma_coeff = (delta / cfg.min_interpixel_distance) * cfg.min_blur_level
+    dog_flat = dog.reshape(-1)
 
-    zero = jnp.asarray(0.0, dtype)
-    init = dict(
+    # Flat offsets of the 3×3×3 neighborhood, ordered (ds, dm, dn).
+    offsets = jnp.asarray(
+        [
+            (ds * h + dm) * w + dn
+            for ds in (-1, 0, 1)
+            for dm in (-1, 0, 1)
+            for dn in (-1, 0, 1)
+        ],
+        jnp.int32,
+    )
+
+    def cube_at(s, m, n):
+        # Positions are always within the valid interior while active
+        # (enforced by the out-of-bounds test); clip for the masked-off
+        # lanes so indices stay legal.
+        sc = jnp.clip(s, 1, d_scales - 2)
+        mc = jnp.clip(m, 1, h - 2)
+        nc = jnp.clip(n, 1, w - 2)
+        base = (sc * h + mc) * w + nc
+        vals = jnp.take(dog_flat, base[:, None] + offsets[None, :], axis=0)
+        return vals  # (N, 27), index (a,b,c) -> 9a+3b+c
+
+    zero = jnp.zeros_like(value)
+    state = dict(
         s=s0.astype(jnp.int32),
         m=m0.astype(jnp.int32),
         n=n0.astype(jnp.int32),
@@ -68,25 +110,23 @@ def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: Sift
         omega=zero,
     )
 
-    def body(_, c):
+    for _ in range(cfg.max_refine_iterations):
+        c = state
         s, m, n = c["s"], c["m"], c["n"]
-        cube = lax.dynamic_slice(dog, (s - 1, m - 1, n - 1), (3, 3, 3))
+        cube = cube_at(s, m, n)
+        v = lambda a, b, cc: cube[:, 9 * a + 3 * b + cc]
 
-        ctr = cube[1, 1, 1]
-        # Gradient [∂s, ∂m, ∂n]/2 (src/sift.js:333-353).
-        g0 = (cube[2, 1, 1] - cube[0, 1, 1]) / 2
-        g1 = (cube[1, 2, 1] - cube[1, 0, 1]) / 2
-        g2 = (cube[1, 1, 2] - cube[1, 1, 0]) / 2
-        # Hessian entries (src/sift.js:377-446), exact JS op order.
-        h11 = cube[2, 1, 1] + cube[0, 1, 1] - (2 * ctr)
-        h22 = cube[1, 2, 1] + cube[1, 0, 1] - (2 * ctr)
-        h33 = cube[1, 1, 2] + cube[1, 1, 0] - (2 * ctr)
-        h12 = (cube[2, 2, 1] - cube[2, 0, 1] - cube[0, 2, 1] + cube[0, 0, 1]) / 4
-        h13 = (cube[2, 1, 2] - cube[2, 1, 0] - cube[0, 1, 2] + cube[0, 1, 0]) / 4
-        h23 = (cube[1, 2, 2] - cube[1, 2, 0] - cube[1, 0, 2] + cube[1, 0, 0]) / 4
+        ctr = v(1, 1, 1)
+        g0 = (v(2, 1, 1) - v(0, 1, 1)) / 2
+        g1 = (v(1, 2, 1) - v(1, 0, 1)) / 2
+        g2 = (v(1, 1, 2) - v(1, 1, 0)) / 2
+        h11 = v(2, 1, 1) + v(0, 1, 1) - (2 * ctr)
+        h22 = v(1, 2, 1) + v(1, 0, 1) - (2 * ctr)
+        h33 = v(1, 1, 2) + v(1, 1, 0) - (2 * ctr)
+        h12 = (v(2, 2, 1) - v(2, 0, 1) - v(0, 2, 1) + v(0, 0, 1)) / 4
+        h13 = (v(2, 1, 2) - v(2, 1, 0) - v(0, 1, 2) + v(0, 1, 0)) / 4
+        h23 = (v(1, 2, 2) - v(1, 2, 0) - v(1, 0, 2) + v(1, 0, 0)) / 4
 
-        # Minors of the symmetric Hessian (matrix2d.js:303-336), 2x2 dets
-        # evaluated as (ad)-(bc) (matrix2d.js:211).
         m00 = (h22 * h33) - (h23 * h23)
         m01 = (h12 * h33) - (h23 * h13)
         m02 = (h12 * h23) - (h22 * h13)
@@ -101,8 +141,6 @@ def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: Sift
         singular = jnp.abs(det) < jnp.asarray(JS_EPSILON, dtype)
         det_safe = jnp.where(singular, jnp.asarray(1.0, dtype), det)
 
-        # inv = adjugate/det; α_i = Σ_j (-inv[i][j])·g_j in JS matvec order
-        # (matrix2d.js:514-541 via background.js:546-554).
         i00 = m00 / det_safe
         i01 = -(m10 / det_safe)
         i02 = m20 / det_safe
@@ -126,14 +164,11 @@ def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: Sift
 
         tr = h22 + h33
         det2 = (h22 * h33) - (h23 * h23)
-        # Division by zero follows IEEE (inf/nan) exactly like JS; a NaN
-        # edgeness compares false and therefore passes, as in the reference.
         edgeness = (tr * tr) / det2
         edge_fail = edgeness > jnp.asarray(edge_thr, dtype)
 
         accepted = converged & ~contrast_fail & ~edge_fail
 
-        # Non-converged: step to round((s,m,n) + α), JS floor(x+0.5).
         sf = s.astype(dtype)
         mf = m.astype(dtype)
         nf = n.astype(dtype)
@@ -179,7 +214,7 @@ def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: Sift
         omega_out = jnp.where(record, omega, c["omega"])
 
         advance = stepping & ~oob
-        return dict(
+        state = dict(
             s=jnp.where(advance, new_s, s),
             m=jnp.where(advance, new_m, m),
             n=jnp.where(advance, new_n, n),
@@ -191,17 +226,23 @@ def _refine_one(dog: jax.Array, s0, m0, n0, value, valid, octave: int, cfg: Sift
             omega=omega_out,
         )
 
-    out = lax.fori_loop(0, cfg.max_refine_iterations, body, init)
-    return out
+    return state
 
 
 def refine_keypoints(
     dog: jax.Array, extrema: Extrema, octave: int, cfg: SiftConfig
 ) -> Keypoints:
     """Refine all candidate slots of one octave. dog: ``(D, H, W)``."""
-    refined = jax.vmap(
-        lambda s, m, n, v, ok: _refine_one(dog, s, m, n, v, ok, octave, cfg)
-    )(extrema.scale_level, extrema.y, extrema.x, extrema.value, extrema.valid)
+    refined = _refine_vectorized(
+        dog,
+        extrema.scale_level,
+        extrema.y,
+        extrema.x,
+        extrema.value,
+        extrema.valid,
+        octave,
+        cfg,
+    )
 
     reason = refined["reason"]
     return Keypoints(
