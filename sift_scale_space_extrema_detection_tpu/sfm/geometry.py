@@ -100,6 +100,31 @@ def se3_exp(xi: jax.Array) -> tuple[jax.Array, jax.Array]:
     return rot, t
 
 
+def se3_log(rot: jax.Array, t: jax.Array) -> jax.Array:
+    """``(R, t)`` → twist ``(..., 6)`` = (ω, v) with ``v = J_l(ω)⁻¹ t``.
+
+    Inverse left-Jacobian in closed form with a Taylor fallback near 0;
+    valid for θ < π (same branch caveat as :func:`so3_log`).
+    """
+    w = so3_log(rot)
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    k = hat(w)
+    k2 = k @ k
+    b = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 / theta2_safe)
+        - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta)),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
+    jl_inv = eye - 0.5 * k + b * k2
+    v = jnp.einsum("...ij,...j->...i", jl_inv, t)
+    return jnp.concatenate([w, v], axis=-1)
+
+
 def compose(r1, t1, r2, t2):
     """(R1,t1)·(R2,t2): apply pose2 then pose1."""
     return r1 @ r2, jnp.einsum("...ij,...j->...i", r1, t2) + t1

@@ -1,0 +1,166 @@
+"""Bundle adjustment tests on synthetic multi-view scenes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sift_scale_space_extrema_detection_tpu.sfm import geometry as geo
+from sift_scale_space_extrema_detection_tpu.sfm.ba import (
+    BAState,
+    Observations,
+    bundle_adjust,
+    reprojection_residuals,
+)
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+
+
+def make_scene(rng, n_cams=6, n_pts=120, noise_px=0.3, dtype=np.float64):
+    """Cameras on an arc looking at a point cloud; full visibility."""
+    pts = rng.uniform([-2, -2, 6], [2, 2, 12], size=(n_pts, 3))
+    rots, ts = [], []
+    for c in range(n_cams):
+        angle = 0.08 * (c - n_cams / 2)
+        r = np.asarray(geo.so3_exp(jnp.asarray([0.0, angle, 0.0])))
+        center = np.array([1.5 * angle * 4, 0.1 * c, -0.2 * c])
+        t = -r @ center
+        rots.append(r)
+        ts.append(t)
+    rots = np.stack(rots)
+    ts = np.stack(ts)
+
+    cams, lms, uvs = [], [], []
+    for c in range(n_cams):
+        xc = pts @ rots[c].T + ts[c]
+        uv = (xc[:, :2] / xc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        uv += noise_px * rng.normal(size=uv.shape)
+        cams.append(np.full(n_pts, c))
+        lms.append(np.arange(n_pts))
+        uvs.append(uv)
+
+    obs = Observations(
+        camera=jnp.asarray(np.concatenate(cams), jnp.int32),
+        landmark=jnp.asarray(np.concatenate(lms), jnp.int32),
+        uv=jnp.asarray(np.concatenate(uvs), dtype),
+        valid=jnp.ones(n_cams * n_pts, bool),
+    )
+    truth = BAState(
+        rotations=jnp.asarray(rots, dtype),
+        translations=jnp.asarray(ts, dtype),
+        points=jnp.asarray(pts, dtype),
+        k_mat=jnp.asarray(K, dtype),
+    )
+    return truth, obs
+
+
+def perturb(rng, truth, rot_sigma=0.01, t_sigma=0.05, pt_sigma=0.1):
+    n_cams = truth.rotations.shape[0]
+    n_pts = truth.points.shape[0]
+    dr = rot_sigma * rng.normal(size=(n_cams, 3))
+    dr[0] = 0  # keep gauge camera at truth
+    dt = t_sigma * rng.normal(size=(n_cams, 3))
+    dt[0] = 0
+    dp = pt_sigma * rng.normal(size=(n_pts, 3))
+    return truth.replace(
+        rotations=geo.so3_exp(jnp.asarray(dr)) @ truth.rotations,
+        translations=truth.translations + jnp.asarray(dt),
+        points=truth.points + jnp.asarray(dp),
+    )
+
+
+def rms_residual(state, obs):
+    r = np.asarray(reprojection_residuals(state, obs))
+    return float(np.sqrt((r**2).sum(-1).mean()))
+
+
+def test_ba_converges_to_truth():
+    rng = np.random.default_rng(0)
+    truth, obs = make_scene(rng, noise_px=0.0)
+    init = perturb(rng, truth)
+    assert rms_residual(init, obs) > 5.0
+
+    refined, cost = bundle_adjust(init, obs, num_iterations=15)
+    assert rms_residual(refined, obs) < 1e-3
+    # Poses recover the truth (gauge anchored at camera 0).
+    for c in range(truth.rotations.shape[0]):
+        rerr = np.asarray(refined.rotations[c]) @ np.asarray(truth.rotations[c]).T
+        ang = np.degrees(np.arccos(np.clip((np.trace(rerr) - 1) / 2, -1, 1)))
+        assert ang < 0.05, f"camera {c}: {ang:.3f} deg"
+    np.testing.assert_allclose(
+        np.asarray(refined.translations),
+        np.asarray(truth.translations),
+        atol=5e-3,
+    )
+
+
+def test_ba_noisy_observations():
+    rng = np.random.default_rng(1)
+    truth, obs = make_scene(rng, noise_px=0.5)
+    init = perturb(rng, truth)
+    refined, cost = bundle_adjust(init, obs, num_iterations=15)
+    # Residual should come down to the noise floor (~0.5 px RMS over 2 dims).
+    assert rms_residual(refined, obs) < 1.0
+    # And not overfit wildly: poses near truth.
+    t_err = np.abs(
+        np.asarray(refined.translations) - np.asarray(truth.translations)
+    ).max()
+    assert t_err < 0.05, t_err
+
+
+def test_ba_respects_validity_mask():
+    rng = np.random.default_rng(2)
+    truth, obs = make_scene(rng, noise_px=0.0)
+    # Corrupt 25% of observations but mark them invalid.
+    n = obs.capacity
+    bad = rng.choice(n, n // 4, replace=False)
+    uv = np.array(obs.uv)
+    uv[bad] += rng.uniform(50, 200, size=(len(bad), 2))
+    valid = np.ones(n, bool)
+    valid[bad] = False
+    obs2 = obs.replace(uv=jnp.asarray(uv), valid=jnp.asarray(valid))
+
+    init = perturb(rng, truth)
+    refined, _ = bundle_adjust(init, obs2, num_iterations=15)
+    r = np.asarray(reprojection_residuals(refined, obs2))
+    rms_valid = np.sqrt((r[valid] ** 2).sum(-1).mean())
+    assert rms_valid < 1e-3
+
+
+def test_ba_huber_downweights_outliers():
+    rng = np.random.default_rng(3)
+    truth, obs = make_scene(rng, noise_px=0.3)
+    # Corrupt 10% of observations and leave them VALID.
+    n = obs.capacity
+    bad = rng.choice(n, n // 10, replace=False)
+    uv = np.array(obs.uv)
+    uv[bad] += rng.uniform(20, 80, size=(len(bad), 2)) * rng.choice(
+        [-1, 1], size=(len(bad), 2)
+    )
+    obs2 = obs.replace(uv=jnp.asarray(uv))
+
+    init = perturb(rng, truth)
+    plain, _ = bundle_adjust(init, obs2, num_iterations=15)
+    robust, _ = bundle_adjust(init, obs2, num_iterations=15, huber_delta=2.0)
+
+    def pose_err(s):
+        return float(
+            jnp.abs(s.translations - truth.translations).max()
+        )
+
+    assert pose_err(robust) < pose_err(plain)
+    assert pose_err(robust) < 0.05
+
+
+def test_ba_fixed_cameras_stay_fixed():
+    rng = np.random.default_rng(4)
+    truth, obs = make_scene(rng, noise_px=0.2)
+    init = perturb(rng, truth)
+    refined, _ = bundle_adjust(
+        init, obs, num_iterations=8, num_fixed_cameras=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(refined.rotations[:2]), np.asarray(init.rotations[:2])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(refined.translations[:2]), np.asarray(init.translations[:2])
+    )
