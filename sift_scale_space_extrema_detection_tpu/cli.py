@@ -1,0 +1,177 @@
+"""Command-line interface: the TPU framework's answer to the reference UI.
+
+The reference drives its pipeline from a browser page with canvas
+galleries (reference/main.js, index.html — SURVEY.md L4). Here the same
+user journey is a CLI: point it at an image, get the Gaussian/DoG
+galleries, candidate markers, refined-keypoint overlay, and a keypoints
+JSON — plus per-stage timing and the reference's accept/reject counters
+(mirroring the console.log taxonomy, background.js:581-672).
+
+Usage:
+    python -m sift_scale_space_extrema_detection_tpu.cli IMAGE [-o OUTDIR]
+        [--octaves N] [--scales N] [--float64] [--blur STRATEGY]
+        [--descriptors] [--no-galleries]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sift-tpu",
+        description="TPU-native SIFT scale-space extrema detection",
+    )
+    p.add_argument("image", help="input image (any PIL-readable format)")
+    p.add_argument("-o", "--outdir", default="sift_out", help="output directory")
+    p.add_argument("--octaves", type=int, default=5)
+    p.add_argument("--scales", type=int, default=3, help="scales per octave")
+    p.add_argument(
+        "--blur",
+        default="separable",
+        choices=["exact", "separable", "matmul", "pallas"],
+    )
+    p.add_argument(
+        "--float64",
+        action="store_true",
+        help="CPU float64 (reference bit-parity mode)",
+    )
+    p.add_argument(
+        "--descriptors",
+        action="store_true",
+        help="also compute orientations + 128-D descriptors",
+    )
+    p.add_argument(
+        "--no-galleries",
+        action="store_true",
+        help="skip PNG gallery dumps (keypoints JSON only)",
+    )
+    p.add_argument("--capacity", type=int, default=1024, help="max keypoints per trio")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    import jax
+    import jax.numpy as jnp
+
+    from . import SiftConfig
+    from .core.image import load_image_gray
+    from .core.types import REJECT_REASON_NAMES
+    from .models import frontend
+    from .utils import visualize as vis
+
+    dtype = np.float64 if args.float64 else np.float32
+    gray = load_image_gray(args.image, dtype=dtype)
+    print(f"loaded {args.image}: {gray.shape[1]}x{gray.shape[0]}")
+
+    cfg = SiftConfig(
+        num_octaves=args.octaves,
+        scales_per_octave=args.scales,
+        max_keypoints_per_trio=args.capacity,
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    image = jnp.asarray(gray)
+
+    t0 = time.perf_counter()
+    scale_space = frontend.build_scale_space(image, cfg, args.blur)
+    dog = build_dog = frontend.build_dog(scale_space)
+    keypoints, extrema = frontend.detect_from_dog(dog, cfg)
+    described = None
+    if args.descriptors:
+        from .ops.descriptor import concat_described, describe_octave
+        from .ops.extrema import find_extrema
+        from .ops.refine import refine_keypoints
+
+        parts = []
+        for octave, (stack, d) in enumerate(zip(scale_space, dog)):
+            e = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
+            kp = refine_keypoints(d, e, octave, cfg)
+            parts.append(describe_octave(stack, kp, octave, cfg))
+        described = concat_described(parts)
+    jax.block_until_ready(keypoints)
+    n_valid = int(np.asarray(jnp.sum(keypoints.valid)))
+    t1 = time.perf_counter()
+    print(f"pipeline: {1e3 * (t1 - t0):.1f} ms ({jax.default_backend()}), "
+          f"{n_valid} keypoints")
+
+    # Rejection taxonomy (reference console.log categories, SURVEY §5.5).
+    counts = np.asarray(keypoints.reject_counts())
+    for name, c in zip(REJECT_REASON_NAMES, counts):
+        print(f"  {name}: {int(c)}")
+
+    # Keypoints JSON with the reference record schema
+    # (reference/background.js:619-628).
+    valid = np.asarray(keypoints.valid)
+    records = [
+        {
+            "octave": int(o),
+            "scaleLevel": int(s),
+            "localX": int(lx),
+            "localY": int(ly),
+            "absoluteSigma": float(sg),
+            "absoluteX": float(ax),
+            "absoluteY": float(ay),
+            "interpolatedValue": float(v),
+        }
+        for o, s, lx, ly, sg, ax, ay, v in zip(
+            np.asarray(keypoints.octave)[valid],
+            np.asarray(keypoints.scale_level)[valid],
+            np.asarray(keypoints.local_x)[valid],
+            np.asarray(keypoints.local_y)[valid],
+            np.asarray(keypoints.abs_sigma)[valid],
+            np.asarray(keypoints.abs_x)[valid],
+            np.asarray(keypoints.abs_y)[valid],
+            np.asarray(keypoints.value)[valid],
+        )
+    ]
+    with open(os.path.join(args.outdir, "keypoints.json"), "w") as f:
+        json.dump({"keypoints": records, "rejectionCounts": {
+            name: int(c) for name, c in zip(REJECT_REASON_NAMES, counts)
+        }}, f, indent=1)
+
+    if described is not None:
+        dv = np.asarray(described.valid)
+        np.savez(
+            os.path.join(args.outdir, "descriptors.npz"),
+            descriptor=np.asarray(described.descriptor)[dv],
+            theta=np.asarray(described.theta)[dv],
+            abs_x=np.asarray(described.abs_x)[dv],
+            abs_y=np.asarray(described.abs_y)[dv],
+            abs_sigma=np.asarray(described.abs_sigma)[dv],
+        )
+        print(f"descriptors: {int(dv.sum())} → descriptors.npz")
+
+    if not args.no_galleries:
+        for o, stack in enumerate(scale_space):
+            vis.save_png(
+                os.path.join(args.outdir, f"gaussian_octave{o}.png"),
+                vis.gallery_image(np.asarray(stack)),
+            )
+        for o, d in enumerate(dog):
+            vis.save_png(
+                os.path.join(args.outdir, f"dog_octave{o}.png"),
+                vis.gallery_image(np.asarray(d), normalize="sigmoid"),
+            )
+        # Candidate markers (red = low contrast pre-filter rejects
+        # live only as counters; markers show accepted candidates).
+        overlay = vis.draw_keypoints(np.asarray(gray, np.float64), keypoints)
+        vis.save_png(os.path.join(args.outdir, "keypoints.png"), overlay)
+        print(f"galleries + overlay → {args.outdir}/")
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,6 +47,12 @@ class SiftConfig:
     # replaces the reference's dynamic candidate lists (SURVEY.md §7).
     max_keypoints_per_trio: int = 1024
 
+    # Floor for the per-octave capacity schedule (octave o gets
+    # ``max(min_keypoints_per_trio, max_keypoints_per_trio >> o)`` slots:
+    # octave o has 4^-o as many pixels, so equal capacity would waste
+    # most refinement/descriptor work on empty slots).
+    min_keypoints_per_trio: int = 64
+
     # --- descriptor extension (green-field; reference stops before
     # descriptors, reference/readme.md:11). Constants follow the IPOL
     # "Anatomy of the SIFT Method" paper bundled with the reference
@@ -110,6 +116,10 @@ class SiftConfig:
         """Edge test threshold (c+1)^2/c (reference/background.js:598)."""
         c = self.edge_ratio
         return ((c + 1.0) * (c + 1.0)) / c
+
+    def keypoints_per_trio(self, octave: int) -> int:
+        """Per-trio slot capacity for one octave (shrinks 2x per octave)."""
+        return max(self.min_keypoints_per_trio, self.max_keypoints_per_trio >> octave)
 
     def max_keypoints_per_octave(self) -> int:
         return self.max_keypoints_per_trio * self.trios_per_octave

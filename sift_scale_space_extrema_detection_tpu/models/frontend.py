@@ -31,6 +31,7 @@ from ..ops.descriptor import DescribedKeypoints, concat_described, describe_octa
 from ..ops.dog import difference_of_gaussians
 from ..ops.extrema import find_extrema
 from ..ops.gaussian import blur_exact, blur_matmul, blur_separable
+from ..ops.pallas.blur import blur_pallas
 from ..ops.refine import refine_keypoints
 from ..ops.resize import downsample2x_nn, upsample2x_nn
 
@@ -38,6 +39,7 @@ BLUR_STRATEGIES: dict[str, Callable] = {
     "exact": blur_exact,
     "separable": blur_separable,
     "matmul": blur_matmul,
+    "pallas": blur_pallas,
 }
 
 
@@ -82,7 +84,10 @@ def detect_from_dog(
     dog: list[jax.Array], cfg: SiftConfig
 ) -> tuple[Keypoints, list[Extrema]]:
     """Extrema scan + refinement over per-octave DoG stacks (unbatched)."""
-    extrema = [find_extrema(d, cfg) for d in dog]
+    extrema = [
+        find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
+        for octave, d in enumerate(dog)
+    ]
     keypoints = [
         refine_keypoints(d, e, octave, cfg)
         for octave, (d, e) in enumerate(zip(dog, extrema))
@@ -128,7 +133,7 @@ def detect_and_describe(
     dog = build_dog(scale_space)
     described = []
     for octave, (stack, d) in enumerate(zip(scale_space, dog)):
-        extrema = find_extrema(d, cfg)
+        extrema = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
         keypoints = refine_keypoints(d, extrema, octave, cfg)
         described.append(describe_octave(stack, keypoints, octave, cfg))
     return concat_described(described)
@@ -150,7 +155,7 @@ def detect_and_describe_batched(
         dogs = stacks_and_dogs[cfg.num_octaves :]
         described = []
         for octave, (stack, d) in enumerate(zip(stacks, dogs)):
-            extrema = find_extrema(d, cfg)
+            extrema = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
             keypoints = refine_keypoints(d, extrema, octave, cfg)
             described.append(describe_octave(stack, keypoints, octave, cfg))
         return concat_described(described)

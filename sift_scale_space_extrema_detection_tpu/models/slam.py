@@ -1,0 +1,306 @@
+"""Incremental SfM / SLAM driver (BASELINE.json configs[3-4]).
+
+Monocular pipeline over a sequence of per-frame landmark measurements:
+
+1. **Bootstrap** — RANSAC essential matrix between the first two frames,
+   pose recovery, midpoint triangulation of the common landmarks (scale
+   gauge: unit baseline).
+2. **Tracking** — each new frame is localized against the current map by
+   robust PnP (motion-model init from the previous pose), then landmarks
+   that became two-view-observable are triangulated into the map.
+3. **Windowed BA** — every ``ba_interval`` frames, Schur-complement
+   bundle adjustment refines the trailing window (older poses frozen);
+   a final global BA refines everything (first pose fixed, Huber robust).
+
+Orchestration runs on the host (the per-frame loop is inherently
+sequential); all numerics (RANSAC, PnP, triangulation, BA) are the
+jitted device kernels from ops/ and sfm/. Map and observation buffers
+are padded to capacity buckets so jit recompiles stay bounded.
+
+Data association is an input (per-frame ``(landmark_id, pixel)``
+pairs): with the synthetic generator it is exact; with the image
+frontend it comes from descriptor matching (ops/matching.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sfm import geometry as geo
+from ..sfm.ba import BAState, Observations, bundle_adjust
+from ..sfm.evaluate import absolute_trajectory_error
+from ..sfm.pnp import solve_pnp
+from ..ops.ransac import estimate_essential_ransac
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    ba_interval: int = 5  # run windowed BA every N frames
+    ba_window: int = 8  # trailing keyframes optimized in windowed BA
+    ba_iterations: int = 6
+    final_ba_iterations: int = 15
+    huber_px: float = 2.0
+    pnp_iterations: int = 10
+    ransac_hypotheses: int = 256
+    ransac_threshold_px: float = 1.5
+    min_triangulation_deg: float = 1.0  # parallax gate for new landmarks
+
+
+@dataclasses.dataclass
+class SlamResult:
+    rotations: np.ndarray  # (F, 3, 3) estimated world→camera
+    translations: np.ndarray  # (F, 3)
+    points: np.ndarray  # (L, 3) map landmarks (NaN where never seen)
+    landmark_valid: np.ndarray  # (L,) bool
+    num_observations: int
+
+
+def _pad_obs(cam, lm, uv, valid):
+    """Pad observation buffers to the next power-of-two bucket."""
+    n = len(cam)
+    bucket = 1 << max(8, (n - 1).bit_length())
+    pad = bucket - n
+    return Observations(
+        camera=jnp.asarray(np.pad(cam, (0, pad)), jnp.int32),
+        landmark=jnp.asarray(np.pad(lm, (0, pad)), jnp.int32),
+        uv=jnp.asarray(np.pad(uv, ((0, pad), (0, 0)))),
+        valid=jnp.asarray(np.pad(valid, (0, pad))),
+    )
+
+
+def run_slam(
+    pixels: np.ndarray,
+    visible: np.ndarray,
+    k_mat: np.ndarray,
+    cfg: SlamConfig | None = None,
+) -> SlamResult:
+    """Run incremental SLAM over per-frame measurements.
+
+    ``pixels``: (F, L, 2) pixel measurement of landmark l in frame f;
+    ``visible``: (F, L) bool association mask. Landmark ids are global
+    (as descriptor-track ids would be after matching).
+    """
+    cfg = cfg or SlamConfig()
+    num_frames, num_landmarks = visible.shape
+    k_jnp = jnp.asarray(k_mat)
+    fx = k_mat[0, 0]
+
+    est_r = np.zeros((num_frames, 3, 3))
+    est_t = np.zeros((num_frames, 3))
+    points = np.full((num_landmarks, 3), np.nan)
+    lm_valid = np.zeros(num_landmarks, bool)
+    first_seen_kf = np.full(num_landmarks, -1, np.int64)
+
+    obs_cam: list[int] = []
+    obs_lm: list[int] = []
+    obs_uv: list[np.ndarray] = []
+
+    def backproject(f_idx, ids):
+        uv = pixels[f_idx, ids]
+        return np.asarray(
+            geo.backproject(jnp.asarray(uv), k_jnp)
+        )
+
+    # ---- bootstrap from frames 0, 1 -----------------------------------
+    common = visible[0] & visible[1]
+    ids = np.where(common)[0]
+    rays1 = backproject(0, ids)
+    rays2 = backproject(1, ids)
+    res = estimate_essential_ransac(
+        jnp.asarray(rays1),
+        jnp.asarray(rays2),
+        jnp.ones(len(ids), bool),
+        jax.random.PRNGKey(0),
+        num_hypotheses=cfg.ransac_hypotheses,
+        inlier_threshold=cfg.ransac_threshold_px / fx,
+    )
+    est_r[0] = np.eye(3)
+    est_t[0] = 0.0
+    est_r[1] = np.asarray(res.rotation)
+    est_t[1] = np.asarray(res.translation)  # unit baseline = gauge
+
+    inl = np.asarray(res.inliers)
+    tri, depths = geo.triangulate_midpoint(
+        jnp.asarray(est_r[0]),
+        jnp.asarray(est_t[0]),
+        jnp.asarray(est_r[1]),
+        jnp.asarray(est_t[1]),
+        jnp.asarray(rays1),
+        jnp.asarray(rays2),
+    )
+    good = inl & np.all(np.asarray(depths) > 0.1, axis=-1)
+    new_ids = ids[good]
+    points[new_ids] = np.asarray(tri)[good]
+    lm_valid[new_ids] = True
+    for f in (0, 1):
+        for i in new_ids:
+            obs_cam.append(f)
+            obs_lm.append(int(i))
+            obs_uv.append(pixels[f, i])
+    first_seen_kf[ids] = np.where(first_seen_kf[ids] < 0, 0, first_seen_kf[ids])
+
+    # ---- incremental tracking -----------------------------------------
+    for f in range(2, num_frames):
+        ids_map = np.where(visible[f] & lm_valid)[0]
+        if len(ids_map) < 6:
+            # Lost: constant-velocity fallback.
+            est_r[f] = est_r[f - 1]
+            est_t[f] = est_t[f - 1]
+            continue
+        r0 = jnp.asarray(est_r[f - 1])
+        t0 = jnp.asarray(est_t[f - 1])
+        cap = 1 << max(6, (len(ids_map) - 1).bit_length())
+        pad = cap - len(ids_map)
+        pts_in = jnp.asarray(
+            np.pad(points[ids_map], ((0, pad), (0, 0)), constant_values=1.0)
+        )
+        uv_in = jnp.asarray(np.pad(pixels[f, ids_map], ((0, pad), (0, 0))))
+        valid_in = jnp.asarray(np.arange(cap) < len(ids_map))
+        r_new, t_new, rms = solve_pnp(
+            pts_in,
+            uv_in,
+            valid_in,
+            k_jnp,
+            r0,
+            t0,
+            iterations=cfg.pnp_iterations,
+            huber_delta=cfg.huber_px,
+        )
+        est_r[f] = np.asarray(r_new)
+        est_t[f] = np.asarray(t_new)
+
+        # Record observations of mapped landmarks.
+        for i in ids_map:
+            obs_cam.append(f)
+            obs_lm.append(int(i))
+            obs_uv.append(pixels[f, i])
+
+        # Triangulate landmarks now visible twice but not yet in the map.
+        cand = np.where(visible[f] & ~lm_valid & (first_seen_kf >= 0))[0]
+        if len(cand) > 0:
+            f0s = first_seen_kf[cand]
+            for f0 in np.unique(f0s):
+                sel = cand[f0s == f0]
+                raysA = backproject(int(f0), sel)
+                raysB = backproject(f, sel)
+                tri, depths = geo.triangulate_midpoint(
+                    jnp.asarray(est_r[f0]),
+                    jnp.asarray(est_t[f0]),
+                    jnp.asarray(est_r[f]),
+                    jnp.asarray(est_t[f]),
+                    jnp.asarray(raysA),
+                    jnp.asarray(raysB),
+                )
+                depths = np.asarray(depths)
+                # Parallax gate: rays must subtend enough angle.
+                cA = -est_r[int(f0)].T @ est_t[int(f0)]
+                cB = -est_r[f].T @ est_t[f]
+                p = np.asarray(tri)
+                dA = p - cA
+                dB = p - cB
+                cosang = np.sum(dA * dB, axis=-1) / np.maximum(
+                    np.linalg.norm(dA, axis=-1) * np.linalg.norm(dB, axis=-1),
+                    1e-9,
+                )
+                ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_deg))
+                good = np.all(depths > 0.1, axis=-1) & ang_ok
+                add = sel[good]
+                points[add] = p[good]
+                lm_valid[add] = True
+                for i in add:
+                    obs_cam.append(int(f0))
+                    obs_lm.append(int(i))
+                    obs_uv.append(pixels[int(f0), i])
+                    obs_cam.append(f)
+                    obs_lm.append(int(i))
+                    obs_uv.append(pixels[f, i])
+
+        newly = visible[f] & (first_seen_kf < 0)
+        first_seen_kf[newly] = f
+
+        # Windowed BA.
+        if f % cfg.ba_interval == 0 and len(obs_cam) > 30:
+            fixed = max(1, f + 1 - cfg.ba_window)
+            state = BAState(
+                rotations=jnp.asarray(est_r[: f + 1]),
+                translations=jnp.asarray(est_t[: f + 1]),
+                points=jnp.asarray(np.nan_to_num(points, nan=1.0)),
+                k_mat=k_jnp,
+            )
+            obs = _pad_obs(
+                np.asarray(obs_cam),
+                np.asarray(obs_lm),
+                np.asarray(obs_uv),
+                np.ones(len(obs_cam), bool),
+            )
+            refined, _ = bundle_adjust(
+                state,
+                obs,
+                num_iterations=cfg.ba_iterations,
+                num_fixed_cameras=fixed,
+                huber_delta=cfg.huber_px,
+            )
+            est_r[: f + 1] = np.asarray(refined.rotations)
+            est_t[: f + 1] = np.asarray(refined.translations)
+            upd = np.asarray(refined.points)
+            points[lm_valid] = upd[lm_valid]
+
+    # ---- final global BA with outlier pruning -------------------------
+    if len(obs_cam) > 30:
+        from ..sfm.ba import reprojection_residuals
+
+        obs_valid = np.ones(len(obs_cam), bool)
+        for _round in range(2):
+            state = BAState(
+                rotations=jnp.asarray(est_r),
+                translations=jnp.asarray(est_t),
+                points=jnp.asarray(np.nan_to_num(points, nan=1.0)),
+                k_mat=k_jnp,
+            )
+            obs = _pad_obs(
+                np.asarray(obs_cam),
+                np.asarray(obs_lm),
+                np.asarray(obs_uv),
+                obs_valid,
+            )
+            refined, _ = bundle_adjust(
+                state,
+                obs,
+                num_iterations=cfg.final_ba_iterations,
+                num_fixed_cameras=1,
+                huber_delta=cfg.huber_px,
+            )
+            est_r = np.asarray(refined.rotations)
+            est_t = np.asarray(refined.translations)
+            upd = np.asarray(refined.points)
+            points[lm_valid] = upd[lm_valid]
+            # Prune observations whose residual exceeds 3·Huber-δ —
+            # Huber only downweights gross outliers, it cannot zero
+            # them, and a few outlier tracks measurably inflate ATE.
+            res = np.asarray(reprojection_residuals(refined, obs))
+            err = np.linalg.norm(res[: len(obs_cam)], axis=-1)
+            obs_valid = obs_valid & (err < 3.0 * cfg.huber_px)
+
+    return SlamResult(
+        rotations=est_r,
+        translations=est_t,
+        points=points,
+        landmark_valid=lm_valid,
+        num_observations=len(obs_cam),
+    )
+
+
+def evaluate_ate(result: SlamResult, gt_rotations, gt_translations) -> float:
+    """Monocular ATE RMSE (Umeyama-aligned) vs ground truth."""
+    return float(
+        absolute_trajectory_error(
+            jnp.asarray(result.rotations),
+            jnp.asarray(result.translations),
+            jnp.asarray(gt_rotations),
+            jnp.asarray(gt_translations),
+        )
+    )

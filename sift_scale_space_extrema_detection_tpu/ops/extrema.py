@@ -70,8 +70,27 @@ def _compact(mask: jax.Array, values: jax.Array, capacity: int):
     idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1)
     # Largest keys = smallest indices among masked lanes.
     keys = jnp.where(flat_mask, -idx.astype(jnp.float32), -jnp.inf)
-    if size < capacity:
-        keys = jnp.pad(keys, (0, capacity - size), constant_values=-jnp.inf)
+
+    # Two-level partial sort: top_k over the full H·W vector is the
+    # wrong tool for a ~0.1%-dense mask (it measured ~1 s of the frontend
+    # batch). Level 1 takes a small top_k per fixed-size chunk (masks are
+    # spatially sparse, so per-chunk counts are tiny), level 2 reduces
+    # the surviving ~nchunks·k1 keys. Chunk overflow spills candidates,
+    # but the per-trio `num_candidates` counter still counts ALL of them,
+    # so overflow is observable; k1 is sized generously vs. realistic
+    # densities.
+    chunk = 2048
+    if size > 4 * chunk:
+        pad = (-size) % chunk
+        keys1 = jnp.pad(keys, (0, pad), constant_values=-jnp.inf)
+        nchunks = keys1.shape[0] // chunk
+        k1 = min(chunk, max(32, capacity // 8))
+        local, _ = jax.lax.top_k(keys1.reshape(nchunks, chunk), k1)
+        keys = local.reshape(-1)
+    if keys.shape[0] < capacity:
+        keys = jnp.pad(
+            keys, (0, capacity - keys.shape[0]), constant_values=-jnp.inf
+        )
     top_keys, _ = jax.lax.top_k(keys, capacity)
     valid = jnp.isfinite(top_keys)
     safe = jnp.where(valid, (-top_keys).astype(jnp.int32), 0)
@@ -81,16 +100,20 @@ def _compact(mask: jax.Array, values: jax.Array, capacity: int):
     return y.astype(jnp.int32), x.astype(jnp.int32), value, valid
 
 
-def find_extrema(dog: jax.Array, cfg: SiftConfig) -> Extrema:
+def find_extrema(
+    dog: jax.Array, cfg: SiftConfig, capacity: int | None = None
+) -> Extrema:
     """Candidate extrema for one octave's DoG stack ``(D, H, W)``.
 
     Trios are centered at DoG scales ``1..D-2`` (background.js:377); the
     output buffer concatenates per-trio compactions so the global slot
     order matches the reference's (trio, row-major) iteration order used
-    later by refinement (background.js:468-479).
+    later by refinement (background.js:468-479). ``capacity`` overrides
+    the per-trio slot count (upper octaves have 4x fewer pixels per
+    octave, so callers shrink it — see SiftConfig.keypoints_per_trio).
     """
     h, w = dog.shape[-2], dog.shape[-1]
-    cap = cfg.max_keypoints_per_trio
+    cap = cfg.max_keypoints_per_trio if capacity is None else capacity
     ys, xs, scale_levels, vals, valids = [], [], [], [], []
     n_cand, n_low = [], []
     for s in range(1, cfg.dog_per_octave - 1):

@@ -1,0 +1,99 @@
+"""Checkpoint, metrics, visualization, and CLI tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sift_scale_space_extrema_detection_tpu import SiftConfig, detect
+from sift_scale_space_extrema_detection_tpu.sfm.ba import BAState
+from sift_scale_space_extrema_detection_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from sift_scale_space_extrema_detection_tpu.utils.metrics import (
+    StageTimer,
+    keypoint_stats,
+)
+from sift_scale_space_extrema_detection_tpu.utils import visualize as vis
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = BAState(
+        rotations=jnp.tile(jnp.eye(3), (4, 1, 1)),
+        translations=jnp.arange(12.0).reshape(4, 3),
+        points=jnp.arange(30.0).reshape(10, 3),
+        k_mat=jnp.eye(3),
+    )
+    path = save_checkpoint(str(tmp_path / "ckpt"), state, step=7)
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.translations), np.asarray(state.translations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.points), np.asarray(state.points)
+    )
+
+
+def test_keypoint_stats(test_image):
+    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=128)
+    keypoints, extrema = detect(jnp.asarray(test_image), cfg)
+    stats = keypoint_stats(keypoints, extrema)
+    assert stats["accepted"] > 0
+    assert stats["occupied"] <= stats["capacity"]
+    assert stats["candidates_found"] >= stats["accepted"]
+    assert stats["candidates_overflowed"] == 0
+    assert set(
+        ["low_contrast", "edge", "out_of_bounds", "max_iterations"]
+    ) <= set(stats)
+
+
+def test_stage_timer():
+    timer = StageTimer()
+    with timer.stage("stage_a") as h:
+        h["result"] = jnp.ones(8)
+    with timer.stage("stage_a"):
+        pass
+    assert timer.counts["stage_a"] == 2
+    assert "stage_a" in timer.report()
+
+
+def test_gallery_and_overlay(test_image):
+    stack = np.stack([test_image] * 3)
+    img = vis.gallery_image(stack, normalize="sigmoid")
+    assert img.dtype == np.uint8
+    assert img.shape[0] == test_image.shape[0]
+
+    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=128)
+    keypoints, _ = detect(jnp.asarray(test_image), cfg)
+    rgb = vis.draw_keypoints(test_image, keypoints)
+    assert rgb.shape == test_image.shape + (3,)
+    # Some green circle pixels must exist.
+    green = (rgb[..., 1] == 255) & (rgb[..., 0] == 0)
+    assert green.sum() > 0
+
+
+def test_cli_end_to_end(tmp_path, test_image):
+    from PIL import Image
+
+    from sift_scale_space_extrema_detection_tpu.cli import main
+
+    img_path = str(tmp_path / "in.png")
+    Image.fromarray((test_image * 255).astype(np.uint8)).save(img_path)
+    out = str(tmp_path / "out")
+    rc = main(
+        [img_path, "-o", out, "--octaves", "3", "--capacity", "128"]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "keypoints.json")) as f:
+        data = json.load(f)
+    assert len(data["keypoints"]) > 0
+    assert {"octave", "scaleLevel", "absoluteSigma", "absoluteX"} <= set(
+        data["keypoints"][0]
+    )
+    assert os.path.exists(os.path.join(out, "gaussian_octave0.png"))
+    assert os.path.exists(os.path.join(out, "dog_octave2.png"))
+    assert os.path.exists(os.path.join(out, "keypoints.png"))
