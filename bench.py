@@ -46,6 +46,11 @@ def _make_batch(batch: int, h: int, w: int) -> np.ndarray:
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: first-compile through the tunneled
+    # TPU backend is minutes; cached reruns are seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from sift_scale_space_extrema_detection_tpu import SiftConfig, detect_batched_jit
 
     batch, h, w = 64, 480, 640
@@ -62,14 +67,17 @@ def main() -> None:
 
         return float(np.asarray(jnp.sum(kp.abs_sigma)))
 
-    # Warmup / compile.
-    keypoints, _ = detect_batched_jit(images, cfg)
+    # Warmup / compile. Blur strategy: banded-matmul rides the MXU and
+    # measured fastest of the three TPU paths (185 ms vs 308 pallas /
+    # ~1950 XLA-conv for the 64x480p pyramid+DoG).
+    blur = "matmul"
+    keypoints, _ = detect_batched_jit(images, cfg, blur)
     sync(keypoints)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        keypoints, _ = detect_batched_jit(images, cfg)
+        keypoints, _ = detect_batched_jit(images, cfg, blur)
         sync(keypoints)
     t1 = time.perf_counter()
 

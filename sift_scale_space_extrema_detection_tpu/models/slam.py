@@ -34,6 +34,7 @@ from ..sfm import geometry as geo
 from ..sfm.ba import BAState, Observations, bundle_adjust
 from ..sfm.evaluate import absolute_trajectory_error
 from ..sfm.pnp import solve_pnp
+from ..ops.matching import match_descriptors
 from ..ops.ransac import estimate_essential_ransac
 
 
@@ -292,6 +293,129 @@ def run_slam(
         landmark_valid=lm_valid,
         num_observations=len(obs_cam),
     )
+
+
+def build_tracks_from_images(
+    images: np.ndarray,
+    sift_cfg,
+    k_mat: np.ndarray | None = None,
+    match_ratio: float = 0.9,
+    max_tracks: int = 4096,
+    blur: str = "separable",
+    ransac_threshold_px: float = 2.0,
+):
+    """Frontend + sequential descriptor matching → landmark tracks.
+
+    ``images``: (F, H, W) grayscale in [0,1]. Runs detect+describe per
+    frame (batched over the whole sequence in one jit), matches each
+    frame against its predecessor (Lowe ratio + mutual cross-check),
+    geometrically verifies each pair with essential-matrix RANSAC when
+    ``k_mat`` is given (raw descriptor matches measured only ~50 %
+    geometrically correct on synthetic texture — unverified tracks
+    poison the map), and chains the surviving matches into tracks.
+    Returns ``(pixels (F, L, 2), visible (F, L))`` ready for
+    :func:`run_slam`, plus per-frame keypoint counts for diagnostics.
+    """
+    from .frontend import detect_and_describe_batched_jit
+    from ..sfm.geometry import backproject as geo_backproject
+
+    described = detect_and_describe_batched_jit(
+        jnp.asarray(images, jnp.float32), sift_cfg, blur
+    )
+    valid = np.asarray(described.valid)
+    xs = np.asarray(described.abs_x)
+    ys = np.asarray(described.abs_y)
+    desc = np.asarray(described.descriptor)
+
+    num_frames = images.shape[0]
+    track_of = np.full(valid.shape, -1, np.int64)  # (F, slots)
+    next_track = 0
+
+    # Frame 0: every valid keypoint opens a track.
+    for j in np.where(valid[0])[0]:
+        if next_track >= max_tracks:
+            break
+        track_of[0, j] = next_track
+        next_track += 1
+
+    for f in range(1, num_frames):
+        m = match_descriptors(
+            jnp.asarray(desc[f - 1]),
+            jnp.asarray(valid[f - 1]),
+            jnp.asarray(desc[f]),
+            jnp.asarray(valid[f]),
+            ratio=match_ratio,
+        )
+        mv = np.asarray(m.valid)
+        midx = np.asarray(m.index)
+        pair_i = np.where(mv)[0]
+        pair_j = midx[pair_i]
+
+        if k_mat is not None and len(pair_i) >= 8:
+            uv1 = np.stack([xs[f - 1, pair_i], ys[f - 1, pair_i]], -1)
+            uv2 = np.stack([xs[f, pair_j], ys[f, pair_j]], -1)
+            cap = 1 << max(6, (len(pair_i) - 1).bit_length())
+            pad = cap - len(pair_i)
+            rays1 = np.asarray(
+                geo_backproject(jnp.asarray(uv1), jnp.asarray(k_mat))
+            )
+            rays2 = np.asarray(
+                geo_backproject(jnp.asarray(uv2), jnp.asarray(k_mat))
+            )
+            res = estimate_essential_ransac(
+                jnp.asarray(
+                    np.pad(rays1, ((0, pad), (0, 0))), jnp.float32
+                ),
+                jnp.asarray(
+                    np.pad(rays2, ((0, pad), (0, 0))), jnp.float32
+                ),
+                jnp.asarray(np.arange(cap) < len(pair_i)),
+                jax.random.PRNGKey(f),
+                num_hypotheses=256,
+                inlier_threshold=ransac_threshold_px / float(k_mat[0, 0]),
+            )
+            keep = np.asarray(res.inliers)[: len(pair_i)]
+            pair_i = pair_i[keep]
+            pair_j = pair_j[keep]
+
+        for i, j in zip(pair_i, pair_j):
+            t = track_of[f - 1, i]
+            if t >= 0:
+                track_of[f, j] = t
+        for j in np.where(valid[f] & (track_of[f] < 0))[0]:
+            if next_track >= max_tracks:
+                break
+            track_of[f, j] = next_track
+            next_track += 1
+
+    n_tracks = next_track
+    pixels = np.zeros((num_frames, n_tracks, 2))
+    visible = np.zeros((num_frames, n_tracks), bool)
+    for f in range(num_frames):
+        for j in np.where(track_of[f] >= 0)[0]:
+            t = track_of[f, j]
+            pixels[f, t] = (xs[f, j], ys[f, j])
+            visible[f, t] = True
+    return pixels, visible, valid.sum(axis=-1)
+
+
+def run_slam_from_images(
+    images: np.ndarray,
+    k_mat: np.ndarray,
+    sift_cfg,
+    slam_cfg: SlamConfig | None = None,
+    match_ratio: float = 0.9,
+) -> SlamResult:
+    """Full visual SLAM: pixels in → trajectory + map out.
+
+    Composes the SIFT frontend (detect+describe, batched), sequential
+    descriptor tracking, and the incremental geometric backend
+    (:func:`run_slam`).
+    """
+    pixels, visible, _ = build_tracks_from_images(
+        images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio
+    )
+    return run_slam(pixels, visible, k_mat, slam_cfg)
 
 
 def evaluate_ate(result: SlamResult, gt_rotations, gt_translations) -> float:

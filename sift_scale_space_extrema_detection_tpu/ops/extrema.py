@@ -18,32 +18,66 @@ from ..config import SiftConfig
 from ..core.types import Extrema
 
 
-def _trio_masks(dog: jax.Array, s: int, cfg: SiftConfig):
+def _neighborhood_min_max(dog: jax.Array):
+    """Per-plane separable 3×3 min/max over the interior, shared by trios.
+
+    Each DoG plane's 3×3-neighborhood extrema are computed ONCE with two
+    separable passes (rows then columns) and reused by every trio that
+    touches the plane — the naive per-trio version re-sliced 26
+    neighbors per trio (130 slice-ops per octave vs ~30 here).
+    Returns ``(min3, max3)`` of shape ``(D, H-2, W-2)``.
+    """
+    h, w = dog.shape[-2], dog.shape[-1]
+    a = dog[:, :, 0 : w - 2]
+    b = dog[:, :, 1 : w - 1]
+    c = dog[:, :, 2:w]
+    row_min = jnp.minimum(jnp.minimum(a, b), c)
+    row_max = jnp.maximum(jnp.maximum(a, b), c)
+    min3 = jnp.minimum(
+        jnp.minimum(row_min[:, 0 : h - 2], row_min[:, 1 : h - 1]),
+        row_min[:, 2:h],
+    )
+    max3 = jnp.maximum(
+        jnp.maximum(row_max[:, 0 : h - 2], row_max[:, 1 : h - 1]),
+        row_max[:, 2:h],
+    )
+    return min3, max3
+
+
+def _trio_masks(dog: jax.Array, min3: jax.Array, max3: jax.Array, s: int, cfg: SiftConfig):
     """Candidate / low-contrast masks for the trio centered at DoG scale s.
 
     Returns boolean masks of shape (H-2, W-2) over interior pixels.
     Strict extremality: center > max(26 neighbors) or < min(26) — ties and
     plateaus rejected, matching ``Array.every`` with strict comparisons
-    (reference/src/sift.js:261-266).
+    (reference/src/sift.js:261-266). The adjacent planes use the shared
+    full-3×3 ``min3``/``max3``; the center plane needs its own 8-neighbor
+    RING min/max (center excluded — the full 3×3 would include the center
+    and break strictness), assembled from the same separable row pieces.
     """
     h, w = dog.shape[-2], dog.shape[-1]
     center = dog[s, 1 : h - 1, 1 : w - 1]
+    plane = dog[s]
 
-    neighbor_min = None
-    neighbor_max = None
-    for ds in (-1, 0, 1):
-        plane = dog[s + ds]
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                shifted = plane[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
-                neighbor_min = (
-                    shifted if neighbor_min is None else jnp.minimum(neighbor_min, shifted)
-                )
-                neighbor_max = (
-                    shifted if neighbor_max is None else jnp.maximum(neighbor_max, shifted)
-                )
+    # Ring (8-neighbor) min/max of the center plane: top and bottom rows
+    # via the separable row min/max, the middle row from the two lateral
+    # neighbors only (center excluded).
+    a = plane[:, 0 : w - 2]
+    b = plane[:, 1 : w - 1]
+    c = plane[:, 2:w]
+    row_min = jnp.minimum(jnp.minimum(a, b), c)
+    row_max = jnp.maximum(jnp.maximum(a, b), c)
+    mid_min = jnp.minimum(a, c)[1 : h - 1]
+    mid_max = jnp.maximum(a, c)[1 : h - 1]
+    ring_min = jnp.minimum(
+        jnp.minimum(row_min[0 : h - 2], row_min[2:h]), mid_min
+    )
+    ring_max = jnp.maximum(
+        jnp.maximum(row_max[0 : h - 2], row_max[2:h]), mid_max
+    )
+
+    neighbor_min = jnp.minimum(jnp.minimum(min3[s - 1], min3[s + 1]), ring_min)
+    neighbor_max = jnp.maximum(jnp.maximum(max3[s - 1], max3[s + 1]), ring_max)
 
     is_extremum = (center > neighbor_max) | (center < neighbor_min)
     passes = jnp.abs(center) >= jnp.asarray(
@@ -114,10 +148,11 @@ def find_extrema(
     """
     h, w = dog.shape[-2], dog.shape[-1]
     cap = cfg.max_keypoints_per_trio if capacity is None else capacity
+    min3, max3 = _neighborhood_min_max(dog)
     ys, xs, scale_levels, vals, valids = [], [], [], [], []
     n_cand, n_low = [], []
     for s in range(1, cfg.dog_per_octave - 1):
-        cand_mask, low_mask = _trio_masks(dog, s, cfg)
+        cand_mask, low_mask = _trio_masks(dog, min3, max3, s, cfg)
         center = dog[s, 1 : h - 1, 1 : w - 1]
         y, x, value, valid = _compact(cand_mask, center, cap)
         ys.append(y)

@@ -52,7 +52,14 @@ def _blur_kernel(in_ref, out_ref, tmp_ref, *, taps, h, w):
 def pallas_blur_supported(h: int, w: int, sigma: float, radius_sigmas: float = 3.0) -> bool:
     radius = kernel_radius(sigma, radius_sigmas)
     hp, wp = h + 2 * radius, w + 2 * radius
-    need = 4 * (hp * wp + hp * w + h * w)
+    # Mosaic's scoped-VMEM stack grows with the number of UNROLLED taps:
+    # each lane-shifted slice of the input materializes a (hp, w)-sized
+    # temporary (measured: 95 taps on a 120×160 image → 16.8 MB scoped
+    # OOM despite ~0.4 MB of nominal blocks). Model that directly.
+    taps = 2 * radius + 1
+    lanes = ((w + 127) // 128) * 128
+    sublanes = ((hp + 7) // 8) * 8
+    need = 4 * (taps + 4) * sublanes * lanes
     return need <= _VMEM_BUDGET_BYTES
 
 

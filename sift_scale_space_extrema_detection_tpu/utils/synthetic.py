@@ -31,6 +31,116 @@ class SyntheticSequence:
     is_outlier: np.ndarray  # (F, L) bool (measurement corrupted)
 
 
+def render_blob_image(
+    points: np.ndarray,
+    rotation: np.ndarray,
+    translation: np.ndarray,
+    k_mat: np.ndarray,
+    image_size: tuple[int, int],
+    blob_sigma_at_unit_depth: float = 12.0,
+    amplitudes: np.ndarray | None = None,
+    sigma_scales: np.ndarray | None = None,
+    background: float = 0.35,
+    noise: float = 0.01,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Render a grayscale view of a 3-D Gaussian-blob field.
+
+    Each world point becomes an isotropic blob at its projection with
+    radius scaled by 1/depth — enough photometric structure for the SIFT
+    frontend to detect and match across views with real parallax, without
+    needing a full renderer. Returns ``(H, W)`` float in [0, 1].
+    """
+    w, h = image_size
+    xc = points @ rotation.T + translation
+    z = xc[:, 2]
+    vis = z > 0.2
+    uv = np.empty((len(points), 2))
+    np.divide(xc[:, 0], z, out=uv[:, 0], where=z != 0)
+    np.divide(xc[:, 1], z, out=uv[:, 1], where=z != 0)
+    uv = uv * [k_mat[0, 0], k_mat[1, 1]] + [k_mat[0, 2], k_mat[1, 2]]
+
+    if amplitudes is None:
+        amplitudes = 0.45 * np.where(np.arange(len(points)) % 2 == 0, 1.0, -1.0)
+    if sigma_scales is None:
+        sigma_scales = np.ones(len(points))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.full((h, w), background)
+    for i in np.where(vis)[0]:
+        cx, cy = uv[i]
+        if cx < -20 or cx > w + 20 or cy < -20 or cy > h + 20:
+            continue
+        s = sigma_scales[i] * blob_sigma_at_unit_depth / z[i]
+        if s < 0.8:
+            continue
+        r = int(3 * s) + 1
+        x0, x1 = max(0, int(cx) - r), min(w, int(cx) + r + 1)
+        y0, y1 = max(0, int(cy) - r), min(h, int(cy) + r + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        patch_y = yy[y0:y1, x0:x1]
+        patch_x = xx[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] += amplitudes[i] * np.exp(
+            -((patch_y - cy) ** 2 + (patch_x - cx) ** 2) / (2 * s * s)
+        )
+    if rng is not None and noise > 0:
+        img = img + noise * rng.standard_normal(img.shape)
+    img = np.clip(img, 0.0, 1.0)
+    return np.round(img * 255.0) / 255.0
+
+
+def textured_blob_field(
+    rng: np.random.Generator,
+    points: np.ndarray,
+    satellites_per_point: int = 3,
+    satellite_spread: float = 0.35,
+):
+    """Expand landmarks into distinctive local 3-D texture.
+
+    Isotropic blobs are rotationally symmetric AND mutually identical —
+    SIFT orientations become unstable and the ratio test kills every
+    match. Each landmark gets ``satellites_per_point`` smaller off-center
+    blobs at fixed 3-D offsets, giving every landmark a unique,
+    view-consistent local pattern (real parallax included).
+
+    Returns ``(render_points, amplitudes, sigma_scales)`` for
+    :func:`render_blob_image`.
+    """
+    n = len(points)
+    parent_amp = 0.5 * np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    parts = [points]
+    amps = [parent_amp]
+    sscale = [np.ones(n)]
+    # One DOMINANT satellite close-in with sign opposite the parent: a
+    # symmetric parent blob alone has no repeatable gradient direction
+    # (measured: median orientation delta ~0.94 rad between views), which
+    # destroys descriptor matching; a single strong off-center structure
+    # pins the orientation.
+    # Satellites sit at (nearly) the SAME depth as their parent: a depth
+    # offset inside the texture patch creates intra-patch parallax that
+    # legitimately deforms the pattern between views (measured: several
+    # px at realistic baselines), destroying descriptor repeatability —
+    # real-world surface texture is locally coplanar for the same reason.
+    ang = rng.uniform(0, 2 * np.pi, n)
+    dom = 0.6 * satellite_spread * np.stack(
+        [np.cos(ang), np.sin(ang), rng.uniform(-0.08, 0.08, n)], axis=-1
+    )
+    parts.append(points + dom)
+    amps.append(-0.9 * parent_amp)
+    sscale.append(np.full(n, 0.6))
+    for _ in range(max(0, satellites_per_point - 1)):
+        offs = rng.uniform(-satellite_spread, satellite_spread, size=(n, 3))
+        offs[:, 2] *= 0.1
+        parts.append(points + offs)
+        amps.append(rng.uniform(0.15, 0.3, n) * rng.choice([-1.0, 1.0], n))
+        sscale.append(rng.uniform(0.35, 0.55, n))
+    return (
+        np.concatenate(parts),
+        np.concatenate(amps),
+        np.concatenate(sscale),
+    )
+
+
 def orbit_sequence(
     rng: np.random.Generator,
     num_frames: int = 50,
