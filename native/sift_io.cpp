@@ -1,0 +1,230 @@
+// Native batch image loader for the TPU SIFT/SLAM framework.
+//
+// The reference implementation is pure JavaScript with no native
+// components (SURVEY.md §2); this framework's compute path is JAX/XLA on
+// TPU, and the runtime around it is native where that pays. Host-side
+// image decode + grayscale conversion is the frame-ingest bottleneck for
+// sequence processing (PIL decodes one image per GIL at a time), so this
+// loader decodes PGM/PPM/BMP and converts RGB→gray with the EXACT
+// reference weights ((r*0.299 + g*0.587 + b*0.114)/255,
+// reference/src/image-utils.js:107-114) across a pthread pool.
+//
+// C ABI (ctypes-friendly); all functions return 0 on success, negative
+// error codes otherwise. Build: see native/build.sh (g++ -O3 -shared).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <pthread.h>
+
+namespace {
+
+struct Image {
+  int width = 0;
+  int height = 0;
+  int channels = 0;      // 1 or 3
+  unsigned char* data = nullptr;  // row-major, interleaved
+};
+
+int read_file(const char* path, unsigned char** out, long* size) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  *size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  *out = static_cast<unsigned char*>(std::malloc(*size));
+  if (!*out) { std::fclose(f); return -2; }
+  if (std::fread(*out, 1, *size, f) != static_cast<size_t>(*size)) {
+    std::free(*out);
+    std::fclose(f);
+    return -3;
+  }
+  std::fclose(f);
+  return 0;
+}
+
+// Skip PNM whitespace + '#' comments.
+long pnm_token(const unsigned char* b, long size, long pos, long* value) {
+  while (pos < size) {
+    if (b[pos] == '#') {
+      while (pos < size && b[pos] != '\n') pos++;
+    } else if (b[pos] == ' ' || b[pos] == '\t' || b[pos] == '\n' ||
+               b[pos] == '\r') {
+      pos++;
+    } else {
+      break;
+    }
+  }
+  long v = 0;
+  bool any = false;
+  while (pos < size && b[pos] >= '0' && b[pos] <= '9') {
+    v = v * 10 + (b[pos] - '0');
+    pos++;
+    any = true;
+  }
+  if (!any) return -1;
+  *value = v;
+  return pos;
+}
+
+int decode_pnm(const unsigned char* buf, long size, Image* img) {
+  if (size < 2 || buf[0] != 'P') return -10;
+  int kind = buf[1] - '0';
+  if (kind != 5 && kind != 6) return -11;  // binary PGM / PPM only
+  long w, h, maxv;
+  long pos = 2;
+  pos = pnm_token(buf, size, pos, &w);
+  if (pos < 0) return -12;
+  pos = pnm_token(buf, size, pos, &h);
+  if (pos < 0) return -12;
+  pos = pnm_token(buf, size, pos, &maxv);
+  if (pos < 0 || maxv > 255) return -13;
+  pos++;  // single whitespace after maxval
+  int ch = (kind == 5) ? 1 : 3;
+  long need = w * h * ch;
+  if (size - pos < need) return -14;
+  img->width = static_cast<int>(w);
+  img->height = static_cast<int>(h);
+  img->channels = ch;
+  img->data = static_cast<unsigned char*>(std::malloc(need));
+  if (!img->data) return -2;
+  std::memcpy(img->data, buf + pos, need);
+  return 0;
+}
+
+uint32_t rd32(const unsigned char* p) {
+  return p[0] | (p[1] << 8) | (p[2] << 16) | (uint32_t(p[3]) << 24);
+}
+
+int decode_bmp(const unsigned char* buf, long size, Image* img) {
+  if (size < 54 || buf[0] != 'B' || buf[1] != 'M') return -20;
+  uint32_t off = rd32(buf + 10);
+  int32_t w = static_cast<int32_t>(rd32(buf + 18));
+  int32_t h = static_cast<int32_t>(rd32(buf + 22));
+  uint16_t bpp = buf[28] | (buf[29] << 8);
+  uint32_t comp = rd32(buf + 30);
+  if (comp != 0 || (bpp != 24 && bpp != 32)) return -21;  // uncompressed only
+  bool flip = h > 0;
+  int ah = h > 0 ? h : -h;
+  int bytes = bpp / 8;
+  long stride = ((w * bytes + 3) / 4) * 4;
+  if (static_cast<long>(off) + stride * ah > size) return -22;
+  img->width = w;
+  img->height = ah;
+  img->channels = 3;
+  img->data = static_cast<unsigned char*>(std::malloc(3L * w * ah));
+  if (!img->data) return -2;
+  for (int y = 0; y < ah; y++) {
+    const unsigned char* row = buf + off + stride * (flip ? (ah - 1 - y) : y);
+    unsigned char* dst = img->data + 3L * w * y;
+    for (int x = 0; x < w; x++) {
+      dst[3 * x + 0] = row[bytes * x + 2];  // BGR → RGB
+      dst[3 * x + 1] = row[bytes * x + 1];
+      dst[3 * x + 2] = row[bytes * x + 0];
+    }
+  }
+  return 0;
+}
+
+int decode_any(const unsigned char* buf, long size, Image* img) {
+  if (size >= 2 && buf[0] == 'P') return decode_pnm(buf, size, img);
+  if (size >= 2 && buf[0] == 'B' && buf[1] == 'M')
+    return decode_bmp(buf, size, img);
+  return -30;
+}
+
+void to_gray(const Image& img, float* out) {
+  long n = static_cast<long>(img.width) * img.height;
+  if (img.channels == 1) {
+    for (long i = 0; i < n; i++) out[i] = img.data[i] / 255.0f;
+  } else {
+    for (long i = 0; i < n; i++) {
+      const unsigned char* p = img.data + 3 * i;
+      // Exact reference expression (image-utils.js:107-114).
+      out[i] = static_cast<float>(
+          ((p[0] * 0.299) + (p[1] * 0.587) + (p[2] * 0.114)) / 255.0);
+    }
+  }
+}
+
+struct Job {
+  const char* const* paths;
+  float* out;       // (n, h, w)
+  int* statuses;    // (n,)
+  int n, width, height;
+  pthread_mutex_t lock;
+  int next;
+};
+
+void* worker(void* arg) {
+  Job* job = static_cast<Job*>(arg);
+  for (;;) {
+    pthread_mutex_lock(&job->lock);
+    int i = job->next++;
+    pthread_mutex_unlock(&job->lock);
+    if (i >= job->n) break;
+
+    unsigned char* buf = nullptr;
+    long size = 0;
+    int rc = read_file(job->paths[i], &buf, &size);
+    Image img;
+    if (rc == 0) {
+      rc = decode_any(buf, size, &img);
+      std::free(buf);
+    }
+    if (rc == 0 && (img.width != job->width || img.height != job->height)) {
+      rc = -40;  // size mismatch with the batch
+    }
+    if (rc == 0) {
+      to_gray(img, job->out + static_cast<long>(i) * job->width * job->height);
+    }
+    std::free(img.data);
+    job->statuses[i] = rc;
+  }
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe an image's dimensions. Returns 0 and fills (w, h) on success.
+int sift_io_probe(const char* path, int* width, int* height) {
+  unsigned char* buf = nullptr;
+  long size = 0;
+  int rc = read_file(path, &buf, &size);
+  if (rc != 0) return rc;
+  Image img;
+  rc = decode_any(buf, size, &img);
+  std::free(buf);
+  if (rc != 0) return rc;
+  *width = img.width;
+  *height = img.height;
+  std::free(img.data);
+  return 0;
+}
+
+// Load n same-sized images as float32 grayscale in [0,1] into out
+// (n*h*w floats), decoding across `threads` pthreads. statuses[i] gets
+// the per-image result code. Returns 0 iff every image succeeded.
+int sift_io_load_batch_gray(const char* const* paths, int n, int width,
+                            int height, int threads, float* out,
+                            int* statuses) {
+  if (n <= 0) return 0;
+  if (threads < 1) threads = 1;
+  if (threads > n) threads = n;
+  Job job{paths, out, statuses, n, width, height,
+          PTHREAD_MUTEX_INITIALIZER, 0};
+  pthread_t tids[64];
+  if (threads > 64) threads = 64;
+  for (int t = 0; t < threads; t++)
+    pthread_create(&tids[t], nullptr, worker, &job);
+  for (int t = 0; t < threads; t++) pthread_join(tids[t], nullptr);
+  int rc = 0;
+  for (int i = 0; i < n; i++)
+    if (statuses[i] != 0) rc = statuses[i];
+  return rc;
+}
+
+}  // extern "C"

@@ -47,6 +47,12 @@ class SiftConfig:
     # replaces the reference's dynamic candidate lists (SURVEY.md §7).
     max_keypoints_per_trio: int = 1024
 
+    # After the extrema scan, valid candidates are packed into
+    # ``refine_compaction`` × (total per-octave slots) before refinement
+    # (refinement cost is per SLOT; occupancy is typically well under
+    # 50%). 1.0 disables compaction.
+    refine_compaction: float = 0.5
+
     # Floor for the per-octave capacity schedule (octave o gets
     # ``max(min_keypoints_per_trio, max_keypoints_per_trio >> o)`` slots:
     # octave o has 4^-o as many pixels, so equal capacity would waste
@@ -120,6 +126,11 @@ class SiftConfig:
     def keypoints_per_trio(self, octave: int) -> int:
         """Per-trio slot capacity for one octave (shrinks 2x per octave)."""
         return max(self.min_keypoints_per_trio, self.max_keypoints_per_trio >> octave)
+
+    def refine_capacity(self, octave: int) -> int:
+        """Post-compaction candidate slots fed to refinement per octave."""
+        total = self.keypoints_per_trio(octave) * self.trios_per_octave
+        return min(total, max(64, int(total * self.refine_compaction)))
 
     def max_keypoints_per_octave(self) -> int:
         return self.max_keypoints_per_trio * self.trios_per_octave

@@ -29,7 +29,7 @@ from ..config import SiftConfig
 from ..core.types import Extrema, Keypoints, concat_keypoints
 from ..ops.descriptor import DescribedKeypoints, concat_described, describe_octave
 from ..ops.dog import difference_of_gaussians
-from ..ops.extrema import find_extrema
+from ..ops.extrema import compact_extrema, find_extrema
 from ..ops.gaussian import blur_exact, blur_matmul, blur_separable
 from ..ops.pallas.blur import blur_pallas
 from ..ops.refine import refine_keypoints
@@ -83,13 +83,20 @@ def build_dog(scale_space: list[jax.Array]) -> list[jax.Array]:
 def detect_from_dog(
     dog: list[jax.Array], cfg: SiftConfig
 ) -> tuple[Keypoints, list[Extrema]]:
-    """Extrema scan + refinement over per-octave DoG stacks (unbatched)."""
+    """Extrema scan + refinement over per-octave DoG stacks (unbatched).
+
+    The returned ``Extrema`` keep the raw per-trio slot layout (segment
+    ``t`` = slots ``[t·cap, (t+1)·cap)``) for introspection/parity;
+    refinement internally consumes a compacted copy (cost is per slot).
+    """
     extrema = [
         find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
         for octave, d in enumerate(dog)
     ]
     keypoints = [
-        refine_keypoints(d, e, octave, cfg)
+        refine_keypoints(
+            d, compact_extrema(e, cfg.refine_capacity(octave)), octave, cfg
+        )
         for octave, (d, e) in enumerate(zip(dog, extrema))
     ]
     return concat_keypoints(keypoints), extrema
@@ -133,7 +140,10 @@ def detect_and_describe(
     dog = build_dog(scale_space)
     described = []
     for octave, (stack, d) in enumerate(zip(scale_space, dog)):
-        extrema = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
+        extrema = compact_extrema(
+            find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
+            cfg.refine_capacity(octave),
+        )
         keypoints = refine_keypoints(d, extrema, octave, cfg)
         described.append(describe_octave(stack, keypoints, octave, cfg))
     return concat_described(described)
@@ -155,7 +165,10 @@ def detect_and_describe_batched(
         dogs = stacks_and_dogs[cfg.num_octaves :]
         described = []
         for octave, (stack, d) in enumerate(zip(stacks, dogs)):
-            extrema = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
+            extrema = compact_extrema(
+                find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
+                cfg.refine_capacity(octave),
+            )
             keypoints = refine_keypoints(d, extrema, octave, cfg)
             described.append(describe_octave(stack, keypoints, octave, cfg))
         return concat_described(described)

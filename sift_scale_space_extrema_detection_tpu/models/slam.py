@@ -49,6 +49,14 @@ class SlamConfig:
     ransac_hypotheses: int = 256
     ransac_threshold_px: float = 1.5
     min_triangulation_deg: float = 1.0  # parallax gate for new landmarks
+    # Pose-graph step before the final BA: odometry edges between
+    # consecutive frames plus "loop" edges between distant frame pairs
+    # that co-observe enough landmarks. Redundant when global BA is
+    # affordable (our default), decisive when it is not — kept as the
+    # standard SLAM backend layer (BASELINE.json config[4]).
+    use_pose_graph: bool = False
+    loop_min_covisible: int = 12
+    loop_min_frame_gap: int = 5
 
 
 @dataclasses.dataclass
@@ -249,6 +257,47 @@ def run_slam(
             est_t[: f + 1] = np.asarray(refined.translations)
             upd = np.asarray(refined.points)
             points[lm_valid] = upd[lm_valid]
+
+    # ---- optional pose-graph optimization -----------------------------
+    if cfg.use_pose_graph and num_frames >= 3:
+        from ..sfm.pose_graph import PoseGraphEdges, optimize_pose_graph
+
+        # Odometry edges from the current estimates; loop edges between
+        # distant co-observing frame pairs (their relative pose is also
+        # taken from the estimates — with real loop closures this would
+        # come from a fresh two-view solve; the graph structure is what
+        # redistributes drift).
+        src, dst, rel_r, rel_t, wgt = [], [], [], [], []
+
+        def add_edge(a, b, weight):
+            ra_inv = est_r[a].T
+            ta_inv = -ra_inv @ est_t[a]
+            src.append(a)
+            dst.append(b)
+            rel_r.append(est_r[b] @ ra_inv)
+            rel_t.append(est_r[b] @ ta_inv + est_t[b])
+            wgt.append(weight)
+
+        for f in range(num_frames - 1):
+            add_edge(f, f + 1, 1.0)
+        covis = visible.astype(np.int32) @ visible.astype(np.int32).T
+        for a in range(num_frames):
+            for b in range(a + cfg.loop_min_frame_gap, num_frames):
+                if covis[a, b] >= cfg.loop_min_covisible:
+                    add_edge(a, b, 0.5)
+
+        edges = PoseGraphEdges(
+            src=jnp.asarray(src, jnp.int32),
+            dst=jnp.asarray(dst, jnp.int32),
+            rel_rotation=jnp.asarray(np.stack(rel_r)),
+            rel_translation=jnp.asarray(np.stack(rel_t)),
+            weight=jnp.asarray(wgt),
+        )
+        opt_r, opt_t, _ = optimize_pose_graph(
+            jnp.asarray(est_r), jnp.asarray(est_t), edges
+        )
+        est_r = np.asarray(opt_r)
+        est_t = np.asarray(opt_t)
 
     # ---- final global BA with outlier pruning -------------------------
     if len(obs_cam) > 30:

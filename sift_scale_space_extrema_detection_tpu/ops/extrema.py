@@ -90,37 +90,49 @@ def _compact(mask: jax.Array, values: jax.Array, capacity: int):
     """Compact a 2-D interior mask into (y, x, value, valid) buffers.
 
     Slot order is row-major over the interior — identical to the
-    reference's scan order (src/sift.js:221-222). Implemented as
-    ``top_k`` over negated indices (a partial sort) rather than a full
-    ``lax.sort`` of the H·W index vector: masks are sparse (≲1 % set),
-    and the full sort measured ~1.3 s of the 9.6 s frontend batch.
-    Indices stay < 2²⁴ at realistic image sizes so the float32 keys used
-    by TPU ``top_k`` are exact; a guard enforces this.
+    reference's scan order (src/sift.js:221-222) — via group-compressed
+    ``top_k`` over negated indices (details below; a naive full
+    ``lax.sort`` of the H·W index vector measured ~1.3 s of the original
+    9.6 s frontend batch, a flat partial sort still ~0.3 s). Indices stay
+    < 2²⁴ at realistic image sizes so the float32 keys used by TPU
+    ``top_k`` are exact; a guard enforces this.
     """
     hh, ww = mask.shape
     size = hh * ww
     assert size < (1 << 24), "image too large for exact float32 top_k keys"
     flat_mask = mask.reshape(-1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1)
-    # Largest keys = smallest indices among masked lanes.
-    keys = jnp.where(flat_mask, -idx.astype(jnp.float32), -jnp.inf)
 
-    # Two-level partial sort: top_k over the full H·W vector is the
-    # wrong tool for a ~0.1%-dense mask (it measured ~1 s of the frontend
-    # batch). Level 1 takes a small top_k per fixed-size chunk (masks are
-    # spatially sparse, so per-chunk counts are tiny), level 2 reduces
-    # the surviving ~nchunks·k1 keys. Chunk overflow spills candidates,
-    # but the per-trio `num_candidates` counter still counts ALL of them,
-    # so overflow is observable; k1 is sized generously vs. realistic
-    # densities.
-    chunk = 2048
-    if size > 4 * chunk:
-        pad = (-size) % chunk
-        keys1 = jnp.pad(keys, (0, pad), constant_values=-jnp.inf)
-        nchunks = keys1.shape[0] // chunk
-        k1 = min(chunk, max(32, capacity // 8))
-        local, _ = jax.lax.top_k(keys1.reshape(nchunks, chunk), k1)
-        keys = local.reshape(-1)
+    # Group-compressed selection: top_k over the full H·W vector is the
+    # wrong tool for a ~0.1%-dense mask (a direct partial sort measured
+    # ~300 ms of the frontend batch). Compress 16 pixels per group, take
+    # the first `capacity` NONEMPTY groups in row-major order (one top_k
+    # over H·W/16 keys), then expand the selected groups' bits and make
+    # the final in-order selection over capacity·16 keys. Exact: every
+    # candidate in a selected group survives to the expansion; candidates
+    # are only lost to capacity overflow itself (still counted by the
+    # per-trio `num_candidates` counter, so it stays observable).
+    group = 16
+    if size > 64 * group:
+        pad = (-size) % group
+        m = flat_mask
+        if pad:
+            m = jnp.pad(m, (0, pad))
+        mg = m.reshape(-1, group)  # (G, 16)
+        n_groups = mg.shape[0]
+        any_g = jnp.any(mg, axis=1)
+        g_idx = jax.lax.broadcasted_iota(jnp.int32, (n_groups, 1), 0).squeeze(-1)
+        g_keys = jnp.where(any_g, -g_idx.astype(jnp.float32), -jnp.inf)
+        g_cap = min(capacity, n_groups)
+        top_g, _ = jax.lax.top_k(g_keys, g_cap)
+        g_ok = jnp.isfinite(top_g)
+        g_sel = jnp.where(g_ok, (-top_g).astype(jnp.int32), 0)
+        bits = mg[g_sel] & g_ok[:, None]  # (g_cap, 16)
+        pos = g_sel[:, None] * group + jnp.arange(group)[None, :]
+        keys = jnp.where(bits, -pos.astype(jnp.float32), -jnp.inf).reshape(-1)
+    else:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1)
+        keys = jnp.where(flat_mask, -idx.astype(jnp.float32), -jnp.inf)
+
     if keys.shape[0] < capacity:
         keys = jnp.pad(
             keys, (0, capacity - keys.shape[0]), constant_values=-jnp.inf
@@ -132,6 +144,37 @@ def _compact(mask: jax.Array, values: jax.Array, capacity: int):
     x = safe % ww + 1
     value = values.reshape(-1)[safe]
     return y.astype(jnp.int32), x.astype(jnp.int32), value, valid
+
+
+def compact_extrema(extrema: Extrema, capacity: int) -> Extrema:
+    """Squeeze valid candidate slots into a smaller buffer.
+
+    The per-trio buffers are sized for worst-case density, so after the
+    scan most slots are invalid — but refinement pays per SLOT (its
+    gathers dominate the frontend). One more top_k over slot indices
+    packs the valid candidates (order preserved: ascending slot = the
+    reference's trio-major, row-major emission order) into ``capacity``
+    slots. Overflow drops trailing candidates; the per-trio
+    ``num_candidates`` counters still count everything, so it stays
+    observable.
+    """
+    n = extrema.y.shape[0]
+    if capacity >= n:
+        return extrema
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    keys = jnp.where(extrema.valid, -idx.astype(jnp.float32), -jnp.inf)
+    top_keys, _ = jax.lax.top_k(keys, capacity)
+    ok = jnp.isfinite(top_keys)
+    slot = jnp.where(ok, (-top_keys).astype(jnp.int32), 0)
+    return Extrema(
+        y=extrema.y[slot],
+        x=extrema.x[slot],
+        scale_level=extrema.scale_level[slot],
+        value=extrema.value[slot],
+        valid=ok & extrema.valid[slot],
+        num_candidates=extrema.num_candidates,
+        num_low_contrast=extrema.num_low_contrast,
+    )
 
 
 def find_extrema(

@@ -4,10 +4,12 @@ from .distributed import (
     detect_and_describe_data_parallel,
     distributed_bundle_adjust,
     make_mesh,
+    match_against_keyframes_sharded,
 )
 
 __all__ = [
     "detect_and_describe_data_parallel",
     "distributed_bundle_adjust",
     "make_mesh",
+    "match_against_keyframes_sharded",
 ]

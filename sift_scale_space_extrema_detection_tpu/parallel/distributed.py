@@ -63,6 +63,47 @@ def detect_and_describe_data_parallel(
     return fn(images)
 
 
+def match_against_keyframes_sharded(
+    query_desc: jax.Array,
+    query_valid: jax.Array,
+    keyframe_desc: jax.Array,
+    keyframe_valid: jax.Array,
+    mesh: Mesh,
+    ratio: float = 0.8,
+):
+    """Match one query set against many keyframes, sharded by keyframe.
+
+    BASELINE.json config[4]: "batched keypoint matching sharded by
+    keyframe". ``keyframe_desc``: ``(K, M, 128)`` with K a multiple of
+    the mesh size (pad with invalid keyframes otherwise). The query is
+    replicated; each device runs the MXU distance matmul + ratio/mutual
+    test for its keyframe slice — no collectives needed, results come
+    back keyframe-sharded.
+
+    Returns ``(index (K, N), distance (K, N), valid (K, N))``.
+    """
+    from ..ops.matching import match_descriptors
+
+    axis = mesh.axis_names[0]
+
+    def local(q_desc, q_valid, kf_d, kf_v):
+        def one(kd, kv):
+            m = match_descriptors(q_desc, q_valid, kd, kv, ratio=ratio)
+            return m.index, m.distance, m.valid
+
+        return jax.vmap(one)(kf_d, kf_v)
+
+    sharded = P(axis)
+    rep = P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(rep, rep, sharded, sharded),
+        out_specs=(sharded, sharded, sharded),
+    )
+    return jax.jit(fn)(query_desc, query_valid, keyframe_desc, keyframe_valid)
+
+
 def _pad_landmarks(state: BAState, n_shards: int) -> tuple[BAState, int]:
     """Pad the landmark axis to a multiple of the mesh size."""
     l = state.points.shape[0]

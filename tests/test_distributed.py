@@ -95,3 +95,33 @@ def test_data_parallel_frontend_matches_single(mesh):
     ok = norms > 1e-6
     cos = (d_ref[ok] * d_par[ok]).sum(1) / norms[ok]
     assert (cos > 0.999).mean() > 0.98, (cos.min(), (cos > 0.999).mean())
+
+
+def test_sharded_keyframe_matching_matches_vmap(mesh):
+    from sift_scale_space_extrema_detection_tpu.ops.matching import (
+        match_descriptors,
+    )
+    from sift_scale_space_extrema_detection_tpu.parallel import (
+        match_against_keyframes_sharded,
+    )
+
+    rng = np.random.default_rng(4)
+
+    def unit(n):
+        v = rng.normal(size=(n, 128)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    q = jnp.asarray(unit(64))
+    qv = jnp.asarray(np.arange(64) < 48)
+    kf = jnp.asarray(np.stack([unit(96) for _ in range(8)]))
+    kfv = jnp.asarray(np.tile(np.arange(96) < 80, (8, 1)))
+
+    idx, dist, valid = match_against_keyframes_sharded(q, qv, kf, kfv, mesh)
+
+    for k in range(8):
+        ref = match_descriptors(q, qv, kf[k], kfv[k])
+        np.testing.assert_array_equal(np.asarray(valid[k]), np.asarray(ref.valid))
+        v = np.asarray(ref.valid)
+        np.testing.assert_array_equal(
+            np.asarray(idx[k])[v], np.asarray(ref.index)[v]
+        )

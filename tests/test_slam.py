@@ -66,3 +66,17 @@ def test_slam_short_sequence_runs():
     ate = evaluate_ate(result, seq.rotations, seq.translations)
     assert ate < 0.1, f"ATE {ate:.4f}"
     assert result.num_observations > 100
+
+
+def test_slam_with_pose_graph_step():
+    """The pose-graph backend layer runs and does not degrade accuracy."""
+    rng = np.random.default_rng(4)
+    seq = orbit_sequence(rng, num_frames=12, num_landmarks=200, noise_px=0.3)
+    result = run_slam(
+        seq.pixels,
+        seq.visible,
+        seq.k_mat,
+        SlamConfig(ba_interval=4, use_pose_graph=True),
+    )
+    ate = evaluate_ate(result, seq.rotations, seq.translations)
+    assert ate < 0.1, f"ATE {ate:.4f}"
