@@ -86,7 +86,7 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     scale_space = frontend.build_scale_space(image, cfg, args.blur)
-    dog = build_dog = frontend.build_dog(scale_space)
+    dog = frontend.build_dog(scale_space)
     keypoints, extrema = frontend.detect_from_dog(dog, cfg)
     described = None
     if args.descriptors:

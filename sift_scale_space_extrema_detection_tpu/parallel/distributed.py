@@ -215,10 +215,17 @@ def distributed_bundle_adjust(
         h_ll_d = damp(h_ll, eye3)
         h_ll_inv = jnp.linalg.inv(h_ll_d)
 
-        # Schur reduction: local landmark contribution, then ONE psum.
+        # Schur reduction: local landmark contribution as ONE flattened
+        # (6C × 3L_local) matmul (see sfm/ba._solve_schur), then one psum.
         w_hinv = jnp.einsum("clij,ljk->clik", w, h_ll_inv)
-        s_off_local = jnp.einsum("clik,dlmk->cidm", w_hinv, w)
-        rhs_local = jnp.einsum("clik,lk->ci", w_hinv, b_l)
+        w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(num_cameras * 6, l_local * 3)
+        wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(
+            num_cameras * 6, l_local * 3
+        )
+        s_off_local = jnp.dot(
+            wh2, w2.T, preferred_element_type=dtype
+        ).reshape(num_cameras, 6, num_cameras, 6)
+        rhs_local = (wh2 @ b_l.reshape(l_local * 3)).reshape(num_cameras, 6)
         s_off = jax.lax.psum(s_off_local, axis)
         rhs = b_c - jax.lax.psum(rhs_local, axis)
 
@@ -236,7 +243,7 @@ def distributed_bundle_adjust(
             rhs.reshape(num_cameras * 6),
         ).reshape(num_cameras, 6) * free[:, None]
 
-        wt_dc = jnp.einsum("clij,ci->lj", w, delta_c)
+        wt_dc = (w2.T @ delta_c.reshape(num_cameras * 6)).reshape(l_local, 3)
         delta_l = jnp.einsum("lij,lj->li", h_ll_inv, b_l - wt_dc)
 
         rots_new = so3_exp(delta_c[:, :3]) @ rots

@@ -181,12 +181,19 @@ def _solve_schur(
 
     h_ll_inv = jnp.linalg.inv(h_ll_d)  # (L, 3, 3) batched
 
-    # S = H_cc − W·H_ll⁻¹·Wᵀ ; rhs = b_c − W·H_ll⁻¹·b_l  (MXU einsums)
+    # S = H_cc − W·H_ll⁻¹·Wᵀ ; rhs = b_c − W·H_ll⁻¹·b_l. The reduction is
+    # flattened to ONE (6C × 3L)·(3L × 6C) matmul: the direct block
+    # einsum over (6,3) tiles measured ~0.1 TFLOP/s on the MXU, the
+    # flattened form is a properly tiled large matmul.
     w_hinv = jnp.einsum("clij,ljk->clik", w, h_ll_inv)  # (C, L, 6, 3)
-    s_off = jnp.einsum("clik,dlmk->cidm", w_hinv, w)  # (C, 6, C, 6)
+    w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(c * 6, l * 3)
+    wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(c * 6, l * 3)
+    s_off = jnp.dot(
+        wh2, w2.T, preferred_element_type=dtype
+    ).reshape(c, 6, c, 6)
     s_mat = -s_off
     s_mat = s_mat.at[jnp.arange(c), :, jnp.arange(c), :].add(h_cc_d)
-    rhs = b_c - jnp.einsum("clik,lk->ci", w_hinv, b_l)  # (C, 6)
+    rhs = b_c - (wh2 @ b_l.reshape(l * 3)).reshape(c, 6)
 
     # Gauge fix: zero out rows/cols of frozen cameras, identity diagonal.
     free = (jnp.arange(c) >= num_fixed_cameras).astype(dtype)
@@ -203,7 +210,7 @@ def _solve_schur(
     delta_c = delta_c * free[:, None]
 
     # Back-substitute landmarks: δl = H_ll⁻¹ (b_l − Wᵀ δc).
-    wt_dc = jnp.einsum("clij,ci->lj", w, delta_c)  # (L, 3)
+    wt_dc = (w2.T @ delta_c.reshape(c * 6)).reshape(l, 3)
     delta_l = jnp.einsum("lij,lj->li", h_ll_inv, b_l - wt_dc)
     return delta_c, delta_l
 
