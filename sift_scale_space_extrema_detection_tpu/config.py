@@ -53,6 +53,11 @@ class SiftConfig:
     # 50%). 1.0 disables compaction.
     refine_compaction: float = 0.5
 
+    # After the first Newton iteration, still-active candidates are
+    # packed into ``refine_active_compaction`` x slots for the remaining
+    # iterations (most candidates finish in iteration 1). 1.0 disables.
+    refine_active_compaction: float = 0.35
+
     # Floor for the per-octave capacity schedule (octave o gets
     # ``max(min_keypoints_per_trio, max_keypoints_per_trio >> o)`` slots:
     # octave o has 4^-o as many pixels, so equal capacity would waste

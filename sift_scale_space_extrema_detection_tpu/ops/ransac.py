@@ -5,11 +5,12 @@ geometry stage). TPU-first design: instead of the classic sequential
 hypothesize-and-verify loop, ALL hypotheses are processed as one batch —
 
 - sample ``(H, 8)`` correspondence indices with one categorical draw,
-- solve all 8-point problems as a batched 9×9 symmetric eigendecomposition
-  of ``AᵀA`` (no per-hypothesis LAPACK calls),
+- solve all 8-point problems with one batched SVD (Hartley-normalized),
 - score every hypothesis against every correspondence with a single
   einsum (Sampson error, ``(H, N)``),
-- pick the argmax-inlier hypothesis and refit on its inlier set.
+- polish the top-K hypotheses in one vmap (pose recovery + annealed
+  IRLS Levenberg-Marquardt on the essential manifold) and keep the
+  winner by final inlier count.
 
 Inputs are normalized camera rays (pixels through K⁻¹,
 :func:`..sfm.geometry.backproject`), so thresholds are in normalized
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..sfm.geometry import hat, invert, so3_exp, triangulate_midpoint
+from ..sfm.geometry import hat, so3_exp, triangulate_midpoint
 
 
 @struct.dataclass

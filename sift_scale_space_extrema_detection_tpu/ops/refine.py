@@ -30,7 +30,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..config import SiftConfig
 from ..core.types import (
@@ -102,6 +101,7 @@ def _refine_vectorized(
         s=s0.astype(jnp.int32),
         m=m0.astype(jnp.int32),
         n=n0.astype(jnp.int32),
+        value=value,
         done=~valid,
         reason=jnp.where(valid, REJECT_MAX_ITERATIONS, -1).astype(jnp.int32),
         abs_y=zero,
@@ -110,9 +110,9 @@ def _refine_vectorized(
         omega=zero,
     )
 
-    for _ in range(cfg.max_refine_iterations):
-        c = state
+    def step(c):
         s, m, n = c["s"], c["m"], c["n"]
+        value = c["value"]
         cube = cube_at(s, m, n)
         v = lambda a, b, cc: cube[:, 9 * a + 3 * b + cc]
 
@@ -214,10 +214,11 @@ def _refine_vectorized(
         omega_out = jnp.where(record, omega, c["omega"])
 
         advance = stepping & ~oob
-        state = dict(
+        return dict(
             s=jnp.where(advance, new_s, s),
             m=jnp.where(advance, new_m, m),
             n=jnp.where(advance, new_n, n),
+            value=value,
             done=c["done"] | finish_singular | finish_converged | finish_oob,
             reason=reason,
             abs_y=abs_y,
@@ -226,6 +227,39 @@ def _refine_vectorized(
             omega=omega_out,
         )
 
+    state = step(state)
+    remaining = cfg.max_refine_iterations - 1
+    n_slots = state["s"].shape[0]
+    active_cap = max(64, int(n_slots * cfg.refine_active_compaction))
+    if remaining > 0 and active_cap < n_slots:
+        # Most candidates finish in the first Newton iteration (converge,
+        # reject, or leave the volume); iterations 2..5 only need the
+        # survivors. Pack the still-active slots into a smaller buffer,
+        # iterate there, and scatter the results back. Actives beyond
+        # ``active_cap`` (never observed at realistic densities; the cap
+        # is a config knob) simply keep their REJECT_MAX_ITERATIONS
+        # fate. Padding lanes reuse slot 0 and are marked done, so the
+        # write-back stores unchanged values for them.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n_slots, 1), 0).squeeze(-1)
+        keys = jnp.where(~state["done"], -idx.astype(jnp.float32), -jnp.inf)
+        top_keys, _ = jax.lax.top_k(keys, active_cap)
+        ok = jnp.isfinite(top_keys)
+        sel_read = jnp.where(ok, (-top_keys).astype(jnp.int32), 0)
+        sub = {k: v[sel_read] for k, v in state.items()}
+        sub["done"] = sub["done"] | ~ok
+        for _ in range(remaining):
+            sub = step(sub)
+        # Write-back: padding lanes get an out-of-range index and are
+        # DROPPED — a clamped/aliased index could race a real lane's
+        # update for the same slot.
+        sel_write = jnp.where(ok, sel_read, n_slots)
+        state = {
+            k: state[k].at[sel_write].set(sub[k], mode="drop")
+            for k in state
+        }
+    else:
+        for _ in range(remaining):
+            state = step(state)
     return state
 
 

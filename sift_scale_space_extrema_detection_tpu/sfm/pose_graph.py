@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .geometry import se3_exp, se3_log, so3_exp
+from .geometry import se3_exp, se3_log
 
 
 @struct.dataclass

@@ -14,10 +14,6 @@ import dataclasses
 
 import numpy as np
 
-from ..sfm import geometry as geo
-
-import jax.numpy as jnp
-
 
 @dataclasses.dataclass
 class SyntheticSequence:
