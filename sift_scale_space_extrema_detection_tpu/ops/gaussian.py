@@ -158,8 +158,14 @@ def blur_separable(
     dn = lax.conv_dimension_numbers(padded.shape, (1, 1, 1, size), ("NCHW", "OIHW", "NCHW"))
     row_k = k1.reshape(1, 1, 1, size)
     col_k = k1.reshape(1, 1, size, 1)
-    out = lax.conv_general_dilated(padded, row_k, (1, 1), "VALID", dimension_numbers=dn)
-    out = lax.conv_general_dilated(out, col_k, (1, 1), "VALID", dimension_numbers=dn)
+    out = lax.conv_general_dilated(
+        padded, row_k, (1, 1), "VALID", dimension_numbers=dn,
+        precision=lax.Precision.HIGHEST,
+    )
+    out = lax.conv_general_dilated(
+        out, col_k, (1, 1), "VALID", dimension_numbers=dn,
+        precision=lax.Precision.HIGHEST,
+    )
     return out.reshape(batch_shape + (h, w))
 
 
@@ -196,9 +202,14 @@ def blur_matmul(image: jax.Array, sigma: float, radius_sigmas: float = 3.0) -> j
     h, w = image.shape[-2], image.shape[-1]
     bv = jnp.asarray(_blur_band_matrix(h, sigma, radius_sigmas), image.dtype)
     bh = jnp.asarray(_blur_band_matrix(w, sigma, radius_sigmas), image.dtype)
+    # precision=HIGHEST is load-bearing: TPU's default matmul precision
+    # is bfloat16, whose blur error (~3e-3) sits at 20% of the contrast
+    # threshold and was measured to create ~60% spurious extrema (only
+    # 27% keypoint agreement with the CPU float32 pipeline; HIGHEST
+    # restores 99.97% agreement for ~17% more time).
     out = jnp.einsum(
-        "ij,...jk->...ik", bv, image, preferred_element_type=image.dtype
+        "ij,...jk->...ik", bv, image, precision=jax.lax.Precision.HIGHEST
     )
     return jnp.einsum(
-        "...ij,kj->...ik", out, bh, preferred_element_type=image.dtype
+        "...ij,kj->...ik", out, bh, precision=jax.lax.Precision.HIGHEST
     )

@@ -43,7 +43,10 @@ def descriptor_distances(
     sq_a = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)
     sq_b = jnp.sum(desc_b * desc_b, axis=-1, keepdims=True)
     cross = jnp.dot(
-        desc_a, desc_b.T, preferred_element_type=jnp.float32
+        desc_a,
+        desc_b.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     d = sq_a + sq_b.T - 2.0 * cross
     return jnp.maximum(d, 0.0)

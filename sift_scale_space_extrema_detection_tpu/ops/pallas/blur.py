@@ -29,8 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..gaussian import blur_separable, gaussian_kernel_1d, kernel_radius
 
-# Conservative VMEM budget: input + scratch + output tiles.
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# VMEM budget for input + scratch + output tiles (16 MB/core minus
+# headroom; a 960×1280 f32 tile set at ~14.9 MB compiles and runs).
+_VMEM_BUDGET_BYTES = int(15.5 * 1024 * 1024)
+# Mosaic's scoped stack grows with the UNROLLED tap count on small tiles
+# (measured: 95 taps on a 120×160 tile → 16.8 MB scoped OOM, while 15
+# taps on a 960×1280 tile ran fine), so cap the taps independently.
+_MAX_TAPS = 31
 
 
 def _blur_kernel(in_ref, out_ref, tmp_ref, *, taps, h, w):
@@ -52,15 +57,9 @@ def _blur_kernel(in_ref, out_ref, tmp_ref, *, taps, h, w):
 def pallas_blur_supported(h: int, w: int, sigma: float, radius_sigmas: float = 3.0) -> bool:
     radius = kernel_radius(sigma, radius_sigmas)
     hp, wp = h + 2 * radius, w + 2 * radius
-    # Mosaic's scoped-VMEM stack grows with the number of UNROLLED taps:
-    # each lane-shifted slice of the input materializes a (hp, w)-sized
-    # temporary (measured: 95 taps on a 120×160 image → 16.8 MB scoped
-    # OOM despite ~0.4 MB of nominal blocks). Model that directly.
     taps = 2 * radius + 1
-    lanes = ((w + 127) // 128) * 128
-    sublanes = ((hp + 7) // 8) * 8
-    need = 4 * (taps + 4) * sublanes * lanes
-    return need <= _VMEM_BUDGET_BYTES
+    need = 4 * (hp * wp + hp * w + h * w)
+    return taps <= _MAX_TAPS and need <= _VMEM_BUDGET_BYTES
 
 
 def blur_pallas(

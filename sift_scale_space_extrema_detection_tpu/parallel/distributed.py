@@ -223,7 +223,10 @@ def distributed_bundle_adjust(
             num_cameras * 6, l_local * 3
         )
         s_off_local = jnp.dot(
-            wh2, w2.T, preferred_element_type=dtype
+            wh2,
+            w2.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
         ).reshape(num_cameras, 6, num_cameras, 6)
         rhs_local = (wh2 @ b_l.reshape(l_local * 3)).reshape(num_cameras, 6)
         s_off = jax.lax.psum(s_off_local, axis)

@@ -189,7 +189,10 @@ def _solve_schur(
     w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(c * 6, l * 3)
     wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(c * 6, l * 3)
     s_off = jnp.dot(
-        wh2, w2.T, preferred_element_type=dtype
+        wh2,
+        w2.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
     ).reshape(c, 6, c, 6)
     s_mat = -s_off
     s_mat = s_mat.at[jnp.arange(c), :, jnp.arange(c), :].add(h_cc_d)
