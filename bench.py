@@ -67,10 +67,10 @@ def main() -> None:
 
         return float(np.asarray(jnp.sum(kp.abs_sigma)))
 
-    # Warmup / compile. Blur strategy: banded-matmul rides the MXU and
-    # measured fastest of the three TPU paths (185 ms vs 308 pallas /
-    # ~1950 XLA-conv for the 64x480p pyramid+DoG).
-    blur = "matmul"
+    # Warmup / compile. Blur strategy: the striped-DMA Pallas kernel is
+    # the fastest accurate path (64x480p pyramid+DoG: 243 ms vs 278
+    # matmul@f32 / ~2100 XLA-conv@f32) and is exact f32.
+    blur = "pallas"
     keypoints, _ = detect_batched_jit(images, cfg, blur)
     sync(keypoints)
 
