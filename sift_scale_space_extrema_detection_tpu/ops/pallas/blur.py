@@ -17,7 +17,7 @@ Mosaic sizing (measured, not documented): the scoped-VMEM stack grows as
 ``taps × stripe_bytes`` — each unrolled lane/sublane-shifted slice of
 the stripe materializes a stripe-sized temporary. A whole-image tile at
 480p octave 0 OOMs at FIVE taps (24.5 MB scoped); the stripe height
-below is chosen so ``(taps + 4) × stripe_bytes`` stays under the limit,
+below is chosen so ``(taps + 1) × stripe_bytes`` stays under the limit,
 and σ too large for even one-row stripes falls back to the XLA path
 (tiny upper-octave images — cost there is negligible anyway).
 """
@@ -54,7 +54,8 @@ def _stripe_rows(h: int, w: int, radius: int) -> int | None:
     wp = _aligned_width(w, radius)
     for tile_h in (256, 128, 64, 32, 16, 8):
         stripe_bytes = 4 * _aligned_stripe(tile_h, radius) * wp
-        if (taps + 4) * stripe_bytes <= _SCOPED_VMEM_BUDGET:
+        # Measured scoped usage ≈ taps × stripe (+1 stripe slack).
+        if (taps + 1) * stripe_bytes <= _SCOPED_VMEM_BUDGET:
             return tile_h
     return None
 
