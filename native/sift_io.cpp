@@ -24,6 +24,7 @@ struct Image {
   int width = 0;
   int height = 0;
   int channels = 0;      // 1 or 3
+  int maxval = 255;      // PNM maxval (<= 255); BMP is always 255
   unsigned char* data = nullptr;  // row-major, interleaved
 };
 
@@ -79,8 +80,9 @@ int decode_pnm(const unsigned char* buf, long size, Image* img) {
   pos = pnm_token(buf, size, pos, &h);
   if (pos < 0) return -12;
   pos = pnm_token(buf, size, pos, &maxv);
-  if (pos < 0 || maxv > 255) return -13;
+  if (pos < 0 || maxv < 1 || maxv > 255) return -13;
   pos++;  // single whitespace after maxval
+  img->maxval = static_cast<int>(maxv);
   int ch = (kind == 5) ? 1 : 3;
   long need = w * h * ch;
   if (size - pos < need) return -14;
@@ -136,14 +138,17 @@ int decode_any(const unsigned char* buf, long size, Image* img) {
 
 void to_gray(const Image& img, float* out) {
   long n = static_cast<long>(img.width) * img.height;
+  const double maxv = static_cast<double>(img.maxval);
   if (img.channels == 1) {
-    for (long i = 0; i < n; i++) out[i] = img.data[i] / 255.0f;
+    for (long i = 0; i < n; i++)
+      out[i] = static_cast<float>(img.data[i] / maxv);
   } else {
     for (long i = 0; i < n; i++) {
       const unsigned char* p = img.data + 3 * i;
-      // Exact reference expression (image-utils.js:107-114).
+      // Exact reference expression (image-utils.js:107-114), scaled by
+      // the file's actual maxval (PNM permits any value <= 255).
       out[i] = static_cast<float>(
-          ((p[0] * 0.299) + (p[1] * 0.587) + (p[2] * 0.114)) / 255.0);
+          ((p[0] * 0.299) + (p[1] * 0.587) + (p[2] * 0.114)) / maxv);
     }
   }
 }

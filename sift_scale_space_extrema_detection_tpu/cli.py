@@ -90,15 +90,30 @@ def main(argv=None) -> int:
     keypoints, extrema = frontend.detect_from_dog(dog, cfg)
     described = None
     if args.descriptors:
+        # Reuse the refined keypoints from detect_from_dog: re-running
+        # extrema+refinement per octave here once doubled detection work.
+        from .core.types import Keypoints
         from .ops.descriptor import concat_described, describe_octave
-        from .ops.extrema import find_extrema
-        from .ops.refine import refine_keypoints
 
         parts = []
-        for octave, (stack, d) in enumerate(zip(scale_space, dog)):
-            e = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
-            kp = refine_keypoints(d, e, octave, cfg)
-            parts.append(describe_octave(stack, kp, octave, cfg))
+        offset = 0
+        for octave, stack in enumerate(scale_space):
+            cap = cfg.refine_capacity(octave)
+            seg = slice(offset, offset + cap)
+            kp_octave = Keypoints(
+                octave=keypoints.octave[seg],
+                scale_level=keypoints.scale_level[seg],
+                local_y=keypoints.local_y[seg],
+                local_x=keypoints.local_x[seg],
+                abs_y=keypoints.abs_y[seg],
+                abs_x=keypoints.abs_x[seg],
+                abs_sigma=keypoints.abs_sigma[seg],
+                value=keypoints.value[seg],
+                valid=keypoints.valid[seg],
+                reject_reason=keypoints.reject_reason[seg],
+            )
+            parts.append(describe_octave(stack, kp_octave, octave, cfg))
+            offset += cap
         described = concat_described(parts)
     jax.block_until_ready(keypoints)
     n_valid = int(np.asarray(jnp.sum(keypoints.valid)))

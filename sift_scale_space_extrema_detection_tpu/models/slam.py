@@ -150,13 +150,18 @@ def run_slam(
             obs_cam.append(f)
             obs_lm.append(int(i))
             obs_uv.append(pixels[f, i])
-    first_seen_kf[ids] = np.where(first_seen_kf[ids] < 0, 0, first_seen_kf[ids])
+    # Every landmark seen at bootstrap records its earliest frame so its
+    # first observation enters triangulation/BA later (not only the
+    # frame-0 AND frame-1 common set).
+    first_seen_kf[visible[0]] = 0
+    only1 = visible[1] & ~visible[0]
+    first_seen_kf[only1] = 1
 
     # ---- incremental tracking -----------------------------------------
     for f in range(2, num_frames):
         ids_map = np.where(visible[f] & lm_valid)[0]
         if len(ids_map) < 6:
-            # Lost: constant-velocity fallback.
+            # Lost: hold the previous pose (constant-pose fallback).
             est_r[f] = est_r[f - 1]
             est_t[f] = est_t[f - 1]
             continue

@@ -162,15 +162,20 @@ def _extract_peaks(hist: jax.Array, cfg: SiftConfig):
 
 
 def assign_orientations(
-    octave_stack: jax.Array, keypoints: Keypoints, octave: int, cfg: SiftConfig
+    octave_stack: jax.Array,
+    keypoints: Keypoints,
+    octave: int,
+    cfg: SiftConfig,
+    grads: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Orientations for all keypoint slots of one octave.
 
     ``octave_stack``: Gaussian images ``(S, H, W)``. Returns
     ``(theta, valid)`` shaped ``(N, max_orientations)``; ``valid`` is
-    ANDed with the keypoint slot validity.
+    ANDed with the keypoint slot validity. ``grads`` lets the caller
+    share the stack gradients with the descriptor stage.
     """
-    gy, gx = scale_space_gradients(octave_stack)
+    gy, gx = grads if grads is not None else scale_space_gradients(octave_stack)
     delta = 2.0 ** (octave - 1)
 
     def one(kp_y, kp_x, kp_sigma, s, ok):
@@ -277,13 +282,14 @@ def compute_descriptors(
     ori_valid: jax.Array,
     octave: int,
     cfg: SiftConfig,
+    grads: tuple[jax.Array, jax.Array] | None = None,
 ) -> DescribedKeypoints:
     """Descriptors for one octave's keypoints × orientation peaks.
 
     ``theta``/``ori_valid``: ``(N, max_orientations)`` from
     :func:`assign_orientations`. Output capacity ``N * max_orientations``.
     """
-    gy, gx = scale_space_gradients(octave_stack)
+    gy, gx = grads if grads is not None else scale_space_gradients(octave_stack)
     delta = 2.0 ** (octave - 1)
     n_ori = cfg.max_orientations_per_keypoint
 
@@ -319,8 +325,14 @@ def compute_descriptors(
 def describe_octave(
     octave_stack: jax.Array, keypoints: Keypoints, octave: int, cfg: SiftConfig
 ) -> DescribedKeypoints:
-    """Orientation assignment + descriptors for one octave."""
-    theta, ori_valid = assign_orientations(octave_stack, keypoints, octave, cfg)
+    """Orientation assignment + descriptors for one octave.
+
+    The stack gradients are computed once and shared by both stages.
+    """
+    grads = scale_space_gradients(octave_stack)
+    theta, ori_valid = assign_orientations(
+        octave_stack, keypoints, octave, cfg, grads=grads
+    )
     return compute_descriptors(
-        octave_stack, keypoints, theta, ori_valid, octave, cfg
+        octave_stack, keypoints, theta, ori_valid, octave, cfg, grads=grads
     )

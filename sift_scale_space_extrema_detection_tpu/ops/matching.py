@@ -75,7 +75,9 @@ def match_descriptors(
     d2 = -neg_top2[:, 1]
     best = idx_top2[:, 0]
 
-    ok = valid_a & (d1 < BIG) & (d1 < (ratio * ratio) * d2)
+    # d2 == BIG means B had fewer than two valid descriptors — without
+    # a genuine second neighbor the ratio test is vacuous, so reject.
+    ok = valid_a & (d1 < BIG) & (d2 < BIG) & (d1 < (ratio * ratio) * d2)
 
     if mutual:
         back = jnp.argmin(d, axis=0)  # best A slot for each B slot

@@ -4,7 +4,8 @@ Green-field extension (BASELINE.json config[2]; the reference has no
 geometry stage). TPU-first design: instead of the classic sequential
 hypothesize-and-verify loop, ALL hypotheses are processed as one batch —
 
-- sample ``(H, 8)`` correspondence indices with one categorical draw,
+- sample ``(H, 8)`` DISTINCT correspondence indices via top_k over
+  per-hypothesis random keys,
 - solve all 8-point problems with one batched SVD (Hartley-normalized),
 - score every hypothesis against every correspondence with a single
   einsum (Sampson error, ``(H, N)``),
@@ -241,10 +242,13 @@ def estimate_essential_ransac(
     nrays1 = rays1 @ t1.T
     nrays2 = rays2 @ t2.T
 
-    logits = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
-    idx = jax.random.categorical(
-        key, logits, shape=(num_hypotheses, 8)
-    )  # (H, 8) over valid slots
+    # Sample 8 DISTINCT valid correspondences per hypothesis: top_k over
+    # per-hypothesis random keys (categorical sampling WITH replacement
+    # made ~a third of hypotheses rank-deficient at N≈64 — a duplicated
+    # row leaves a 2-D nullspace and the SVD returns garbage).
+    u = jax.random.uniform(key, (num_hypotheses, rays1.shape[0]))
+    u = jnp.where(valid[None, :], u, -1.0)
+    _, idx = jax.lax.top_k(u, 8)  # (H, 8) distinct valid slots
 
     rows_all = _epipolar_rows(nrays1, nrays2)  # (N, 9)
     a = rows_all[idx]  # (H, 8, 9)

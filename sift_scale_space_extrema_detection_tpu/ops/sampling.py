@@ -21,11 +21,18 @@ def scale_space_gradients(stack: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-pixel central-difference gradients of a scale-space stack.
 
     ``stack``: ``(..., H, W)``. Returns ``(gy, gx)`` with the same shape;
-    borders use one-sided zero-padded differences (border gradients are
-    never sampled by the windows, which stay in the interior).
+    border rows/columns are exactly zero. (An earlier jnp.roll version
+    wrapped around the border, silently mixing opposite image edges —
+    masked out by callers today, but a trap for any future caller
+    sampling within one pixel of the border.)
     """
-    gy = (jnp.roll(stack, -1, axis=-2) - jnp.roll(stack, 1, axis=-2)) / 2.0
-    gx = (jnp.roll(stack, -1, axis=-1) - jnp.roll(stack, 1, axis=-1)) / 2.0
+    zero = jnp.zeros_like(stack)
+    gy = zero.at[..., 1:-1, :].set(
+        (stack[..., 2:, :] - stack[..., :-2, :]) / 2.0
+    )
+    gx = zero.at[..., 1:-1].set(
+        (stack[..., 2:] - stack[..., :-2]) / 2.0
+    )
     return gy, gx
 
 

@@ -77,3 +77,14 @@ def test_fallback_to_pil_for_png(tmp_path):
 def test_missing_file_error(tmp_path):
     with pytest.raises(native_io.NativeIOError):
         native_io.load_batch_gray([str(tmp_path / "nope.pgm")], fallback=False)
+
+
+def test_pgm_nonstandard_maxval(tmp_path):
+    """PNM maxval != 255 must scale intensities by the file's maxval."""
+    g = np.array([[0, 31, 63], [63, 15, 0]], dtype=np.uint8)
+    p = str(tmp_path / "m.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5\n3 2\n63\n")
+        f.write(g.tobytes())
+    out = native_io.load_batch_gray([p], fallback=False)
+    np.testing.assert_allclose(out[0], g / 63.0, atol=1e-6)
