@@ -97,3 +97,29 @@ def test_cli_end_to_end(tmp_path, test_image):
     assert os.path.exists(os.path.join(out, "gaussian_octave0.png"))
     assert os.path.exists(os.path.join(out, "dog_octave2.png"))
     assert os.path.exists(os.path.join(out, "keypoints.png"))
+
+
+def test_checked_catches_nan():
+    import pytest as _pytest
+
+    from sift_scale_space_extrema_detection_tpu.utils.debug import checked
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    f = checked(jax.jit(bad))
+    np.testing.assert_allclose(np.asarray(f(jnp.asarray(4.0))), np.log(4.0))
+    with _pytest.raises(Exception):
+        f(jnp.asarray(-1.0))
+
+
+def test_assert_finite():
+    import pytest as _pytest
+
+    from sift_scale_space_extrema_detection_tpu.utils.debug import (
+        assert_finite,
+    )
+
+    assert_finite({"a": jnp.ones(3), "b": jnp.arange(4)})
+    with _pytest.raises(FloatingPointError, match="non-finite"):
+        assert_finite({"a": jnp.asarray([1.0, np.nan])}, name="state")
