@@ -67,10 +67,12 @@ def main() -> None:
 
         return float(np.asarray(jnp.sum(kp.abs_sigma)))
 
-    # Warmup / compile. Blur strategy: the striped-DMA Pallas kernel is
-    # the fastest accurate path (64x480p pyramid+DoG: 243 ms vs 278
-    # matmul@f32 / ~2100 XLA-conv@f32) and is exact f32.
-    blur = "pallas"
+    # Warmup / compile. Blur strategy: the fused whole-octave Pallas
+    # kernel (all scales + DoG from ONE HBM read of the octave base;
+    # Gaussian stacks never leave the chip on the detect path) is the
+    # fastest accurate path: 64x480p pyramid+DoG 83 ms vs 243 ms for the
+    # round-1 per-scale striped kernel. Exact f32.
+    blur = "fused"
     keypoints, _ = detect_batched_jit(images, cfg, blur)
     sync(keypoints)
 

@@ -4,5 +4,5 @@
 set -e
 cd "$(dirname "$0")"
 mkdir -p build
-g++ -O3 -shared -fPIC -pthread -o build/libsift_io.so sift_io.cpp
+g++ -O3 -shared -fPIC -pthread -o build/libsift_io.so sift_io.cpp -lz
 echo "built native/build/libsift_io.so"

@@ -5,9 +5,13 @@
 // TPU, and the runtime around it is native where that pays. Host-side
 // image decode + grayscale conversion is the frame-ingest bottleneck for
 // sequence processing (PIL decodes one image per GIL at a time), so this
-// loader decodes PGM/PPM/BMP and converts RGB→gray with the EXACT
+// loader decodes PNG/PGM/PPM/BMP and converts RGB→gray with the EXACT
 // reference weights ((r*0.299 + g*0.587 + b*0.114)/255,
-// reference/src/image-utils.js:107-114) across a pthread pool.
+// reference/src/image-utils.js:107-114) across a pthread pool. PNG is
+// the format that matters in practice — KITTI odometry and TUM-RGBD
+// sequences ship 8-bit gray/RGB (+16-bit depth) PNGs — decoded here
+// with a from-scratch chunk parser + zlib inflate + per-scanline
+// unfiltering (no libpng dependency).
 //
 // C ABI (ctypes-friendly); all functions return 0 on success, negative
 // error codes otherwise. Build: see native/build.sh (g++ -O3 -shared).
@@ -17,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <pthread.h>
+#include <zlib.h>
 
 namespace {
 
@@ -24,7 +29,8 @@ struct Image {
   int width = 0;
   int height = 0;
   int channels = 0;      // 1 or 3
-  int maxval = 255;      // PNM maxval (<= 255); BMP is always 255
+  int maxval = 255;      // PNM maxval (<= 255); 16-bit PNG: 65535
+  int bytes_per_sample = 1;  // 2 for 16-bit PNG (big-endian samples)
   unsigned char* data = nullptr;  // row-major, interleaved
 };
 
@@ -129,7 +135,187 @@ int decode_bmp(const unsigned char* buf, long size, Image* img) {
   return 0;
 }
 
+// ---- PNG ------------------------------------------------------------
+//
+// Minimal but complete decoder for the PNG subset real datasets use:
+// non-interlaced, bit depth 8 (all color types incl. palette) and 16
+// (gray / RGB — TUM depth maps are 16-bit gray). All five scanline
+// filters. CRCs are not verified (decode robustness, not integrity, is
+// the job here); zlib verifies the IDAT adler32.
+
+uint32_t rd32be(const unsigned char* p) {
+  return (uint32_t(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3];
+}
+
+int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+int decode_png(const unsigned char* buf, long size, Image* img) {
+  static const unsigned char kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (size < 8 + 25 || std::memcmp(buf, kSig, 8) != 0) return -50;
+
+  long pos = 8;
+  uint32_t w = 0, h = 0;
+  int depth = 0, color = 0, interlace = 0;
+  unsigned char palette[256][3];
+  int palette_size = 0;
+  unsigned char* idat = nullptr;
+  long idat_size = 0, idat_cap = 0;
+  bool seen_ihdr = false, seen_iend = false;
+
+  while (pos + 8 <= size && !seen_iend) {
+    uint32_t len = rd32be(buf + pos);
+    const unsigned char* type = buf + pos + 4;
+    const unsigned char* payload = buf + pos + 8;
+    if (pos + 12 + static_cast<long>(len) > size) { std::free(idat); return -51; }
+    if (std::memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) { std::free(idat); return -51; }
+      w = rd32be(payload);
+      h = rd32be(payload + 4);
+      depth = payload[8];
+      color = payload[9];
+      interlace = payload[12];
+      seen_ihdr = true;
+    } else if (std::memcmp(type, "PLTE", 4) == 0) {
+      palette_size = static_cast<int>(len / 3);
+      if (palette_size > 256) palette_size = 256;
+      std::memcpy(palette, payload, static_cast<size_t>(palette_size) * 3);
+    } else if (std::memcmp(type, "IDAT", 4) == 0) {
+      if (idat_size + len > idat_cap) {
+        idat_cap = (idat_size + len) * 2;
+        unsigned char* grown =
+            static_cast<unsigned char*>(std::realloc(idat, idat_cap));
+        if (!grown) { std::free(idat); return -2; }
+        idat = grown;
+      }
+      std::memcpy(idat + idat_size, payload, len);
+      idat_size += len;
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      seen_iend = true;
+    }
+    pos += 12 + len;  // len + type + payload + crc
+  }
+  if (!seen_ihdr || idat == nullptr || w == 0 || h == 0) {
+    std::free(idat);
+    return -52;
+  }
+  if (interlace != 0) { std::free(idat); return -53; }  // Adam7 unsupported
+  int samples;  // samples per pixel before palette expansion
+  switch (color) {
+    case 0: samples = 1; break;  // gray
+    case 2: samples = 3; break;  // RGB
+    case 3: samples = 1; break;  // palette index
+    case 4: samples = 2; break;  // gray + alpha
+    case 6: samples = 4; break;  // RGBA
+    default: std::free(idat); return -54;
+  }
+  if (depth != 8 && !(depth == 16 && (color == 0 || color == 2))) {
+    std::free(idat);
+    return -55;
+  }
+  if (color == 3 && palette_size == 0) { std::free(idat); return -56; }
+
+  int bytes_per_sample = depth / 8;
+  long bpp = static_cast<long>(samples) * bytes_per_sample;  // filter delta
+  long row_bytes = bpp * w;
+  unsigned long raw_size =
+      static_cast<unsigned long>((row_bytes + 1) * h);
+  unsigned char* raw = static_cast<unsigned char*>(std::malloc(raw_size));
+  if (!raw) { std::free(idat); return -2; }
+  unsigned long out_len = raw_size;
+  int zrc = uncompress(raw, &out_len, idat, idat_size);
+  std::free(idat);
+  if (zrc != Z_OK || out_len != raw_size) { std::free(raw); return -57; }
+
+  // Unfilter in place (scanline layout: filter byte + row).
+  unsigned char* prev = nullptr;
+  for (uint32_t y = 0; y < h; y++) {
+    unsigned char* line = raw + y * (row_bytes + 1);
+    int filter = line[0];
+    unsigned char* cur = line + 1;
+    switch (filter) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (long i = bpp; i < row_bytes; i++) cur[i] += cur[i - bpp];
+        break;
+      case 2:  // Up
+        if (prev)
+          for (long i = 0; i < row_bytes; i++) cur[i] += prev[i];
+        break;
+      case 3:  // Average
+        for (long i = 0; i < row_bytes; i++) {
+          int a = i >= bpp ? cur[i - bpp] : 0;
+          int b = prev ? prev[i] : 0;
+          cur[i] += static_cast<unsigned char>((a + b) / 2);
+        }
+        break;
+      case 4:  // Paeth
+        for (long i = 0; i < row_bytes; i++) {
+          int a = i >= bpp ? cur[i - bpp] : 0;
+          int b = prev ? prev[i] : 0;
+          int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+          cur[i] += static_cast<unsigned char>(paeth(a, b, c));
+        }
+        break;
+      default:
+        std::free(raw);
+        return -58;
+    }
+    prev = cur;
+  }
+
+  // Assemble the output image: gray or RGB, dropping alpha, expanding
+  // palette, keeping 16-bit big-endian samples when present.
+  int out_ch = (color == 2 || color == 3 || color == 6) ? 3 : 1;
+  long n_px = static_cast<long>(w) * h;
+  img->width = static_cast<int>(w);
+  img->height = static_cast<int>(h);
+  img->channels = out_ch;
+  img->bytes_per_sample = bytes_per_sample;
+  img->maxval = depth == 16 ? 65535 : 255;
+  img->data = static_cast<unsigned char*>(
+      std::malloc(n_px * out_ch * bytes_per_sample));
+  if (!img->data) { std::free(raw); return -2; }
+  for (uint32_t y = 0; y < h; y++) {
+    const unsigned char* src = raw + y * (row_bytes + 1) + 1;
+    unsigned char* dst =
+        img->data + static_cast<long>(y) * w * out_ch * bytes_per_sample;
+    if (color == 3) {
+      for (uint32_t x = 0; x < w; x++) {
+        int idx = src[x];
+        if (idx >= palette_size) idx = 0;
+        dst[3 * x + 0] = palette[idx][0];
+        dst[3 * x + 1] = palette[idx][1];
+        dst[3 * x + 2] = palette[idx][2];
+      }
+    } else if (color == 4) {  // gray+alpha → gray
+      for (uint32_t x = 0; x < w; x++) dst[x] = src[2 * x];
+    } else if (color == 6) {  // RGBA → RGB
+      for (uint32_t x = 0; x < w; x++) {
+        dst[3 * x + 0] = src[4 * x + 0];
+        dst[3 * x + 1] = src[4 * x + 1];
+        dst[3 * x + 2] = src[4 * x + 2];
+      }
+    } else {  // gray8 / gray16 / RGB8 / RGB16: straight copy
+      std::memcpy(dst, src, row_bytes);
+    }
+  }
+  std::free(raw);
+  return 0;
+}
+
 int decode_any(const unsigned char* buf, long size, Image* img) {
+  if (size >= 8 && buf[0] == 137 && buf[1] == 'P' && buf[2] == 'N' &&
+      buf[3] == 'G')
+    return decode_png(buf, size, img);
   if (size >= 2 && buf[0] == 'P') return decode_pnm(buf, size, img);
   if (size >= 2 && buf[0] == 'B' && buf[1] == 'M')
     return decode_bmp(buf, size, img);
@@ -139,6 +325,24 @@ int decode_any(const unsigned char* buf, long size, Image* img) {
 void to_gray(const Image& img, float* out) {
   long n = static_cast<long>(img.width) * img.height;
   const double maxv = static_cast<double>(img.maxval);
+  if (img.bytes_per_sample == 2) {  // 16-bit PNG, big-endian samples
+    if (img.channels == 1) {
+      for (long i = 0; i < n; i++) {
+        const unsigned char* p = img.data + 2 * i;
+        out[i] = static_cast<float>(((p[0] << 8) | p[1]) / maxv);
+      }
+    } else {
+      for (long i = 0; i < n; i++) {
+        const unsigned char* p = img.data + 6 * i;
+        double r = (p[0] << 8) | p[1];
+        double g = (p[2] << 8) | p[3];
+        double b = (p[4] << 8) | p[5];
+        out[i] = static_cast<float>(
+            ((r * 0.299) + (g * 0.587) + (b * 0.114)) / maxv);
+      }
+    }
+    return;
+  }
   if (img.channels == 1) {
     for (long i = 0; i < n; i++)
       out[i] = static_cast<float>(img.data[i] / maxv);

@@ -1,6 +1,6 @@
 """ctypes bindings for the native batch image loader (native/sift_io.cpp).
 
-Decodes PGM/PPM/BMP and converts to [0,1] float32 grayscale with the
+Decodes PNG/PGM/PPM/BMP and converts to [0,1] float32 grayscale with the
 exact reference weights across a pthread pool — the host-side frame
 ingest path for sequence processing. Compiles the shared library on
 first use (cached under ``native/build/``); anything it cannot decode
@@ -38,7 +38,7 @@ def _load_library():
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-pthread",
-                "-o", _LIB_PATH, src,
+                "-o", _LIB_PATH, src, "-lz",
             ],
             check=True,
             capture_output=True,
@@ -73,7 +73,7 @@ def native_available() -> bool:
 
 
 def probe(path: str) -> tuple[int, int]:
-    """(width, height) of a PGM/PPM/BMP image."""
+    """(width, height) of a PNG/PGM/PPM/BMP image."""
     lib = _load_library()
     w = ctypes.c_int()
     h = ctypes.c_int()
@@ -88,7 +88,7 @@ def load_batch_gray(
 ) -> np.ndarray:
     """Load same-sized images → ``(N, H, W)`` float32 grayscale in [0,1].
 
-    Uses the native multithreaded decoder for PGM/PPM/BMP; with
+    Uses the native multithreaded decoder for PNG/PGM/PPM/BMP; with
     ``fallback=True`` any failure (unsupported format, no compiler)
     routes through the PIL loader instead.
     """

@@ -32,6 +32,7 @@ from ..ops.dog import difference_of_gaussians
 from ..ops.extrema import compact_extrema, find_extrema
 from ..ops.gaussian import blur_exact, blur_matmul, blur_separable
 from ..ops.pallas.blur import blur_pallas
+from ..ops.pallas.octave import fused_octave, fused_octave_supported
 from ..ops.refine import refine_keypoints
 from ..ops.resize import downsample2x_nn, upsample2x_nn
 
@@ -41,6 +42,60 @@ BLUR_STRATEGIES: dict[str, Callable] = {
     "matmul": blur_matmul,
     "pallas": blur_pallas,
 }
+
+
+def build_pyramid_fused(
+    images: jax.Array,
+    cfg: SiftConfig,
+    emit_scales: bool = True,
+    interpret: bool = False,
+) -> tuple[list[jax.Array] | None, list[jax.Array]]:
+    """Pyramid + DoG via the fused whole-octave Pallas kernel.
+
+    ``images``: ``(..., H, W)``. Returns ``(scale_space, dog)`` per
+    octave; ``scale_space`` is ``None`` when ``emit_scales=False`` (the
+    detect-only path — the Gaussian stacks never leave the chip, only
+    DoG and each octave's seed scale are written to HBM). Octaves whose
+    kernel plan does not fit VMEM fall back to the XLA separable path.
+    """
+    batch_shape = images.shape[:-2]
+    flat = images.reshape((-1,) + images.shape[-2:])
+    base = upsample2x_nn(flat)
+    on_tpu = jax.default_backend() == "tpu"
+    scale_space: list[jax.Array] = []
+    dogs: list[jax.Array] = []
+    for octave in range(cfg.num_octaves):
+        sigmas = [
+            None if (octave > 0 and s == 0) else cfg.offset_sigma(octave, s)
+            for s in range(cfg.scales_per_octave_total)
+        ]
+        h, w = base.shape[-2], base.shape[-1]
+        if (on_tpu or interpret) and fused_octave_supported(
+            h, w, sigmas, cfg.scales_per_octave
+        ):
+            scales, dog, seed = fused_octave(
+                base,
+                sigmas,
+                cfg.scales_per_octave,
+                emit_scales=emit_scales,
+                interpret=interpret,
+            )
+        else:
+            planes = [
+                base if s is None else blur_separable(base, s) for s in sigmas
+            ]
+            scales = jnp.stack(planes, axis=-3)
+            dog = difference_of_gaussians(scales)
+            seed = planes[cfg.scales_per_octave]
+            if not emit_scales:
+                scales = None
+        if emit_scales:
+            scale_space.append(
+                scales.reshape(batch_shape + scales.shape[-3:])
+            )
+        dogs.append(dog.reshape(batch_shape + dog.shape[-3:]))
+        base = downsample2x_nn(seed)
+    return (scale_space if emit_scales else None), dogs
 
 
 def build_scale_space(
@@ -102,12 +157,22 @@ def detect_from_dog(
     return concat_keypoints(keypoints), extrema
 
 
+def _dog_pyramid(
+    images: jax.Array, cfg: SiftConfig, blur: str
+) -> list[jax.Array]:
+    """DoG stacks per octave; ``blur="fused"`` takes the whole-octave
+    Pallas kernel path (Gaussian stacks never written to HBM)."""
+    if blur == "fused":
+        _, dog = build_pyramid_fused(images, cfg, emit_scales=False)
+        return dog
+    return build_dog(build_scale_space(images, cfg, blur))
+
+
 def detect(
     image: jax.Array, cfg: SiftConfig, blur: str = "separable"
 ) -> tuple[Keypoints, list[Extrema]]:
     """Full single-image detection: ``(H, W)`` grayscale → keypoints."""
-    dog = build_dog(build_scale_space(image, cfg, blur))
-    return detect_from_dog(dog, cfg)
+    return detect_from_dog(_dog_pyramid(image, cfg, blur), cfg)
 
 
 def detect_batched(
@@ -118,7 +183,7 @@ def detect_batched(
     The pyramid build is natively batched (blur ops accept leading dims);
     extrema/refinement vmap over the batch.
     """
-    dog = build_dog(build_scale_space(images, cfg, blur))
+    dog = _dog_pyramid(images, cfg, blur)
 
     def _detect_one(*dog_octaves):
         return detect_from_dog(list(dog_octaves), cfg)
@@ -136,8 +201,11 @@ def detect_and_describe(
     up to ``max_orientations_per_keypoint`` orientations and 128-D
     descriptors from the octave's Gaussian stack.
     """
-    scale_space = build_scale_space(image, cfg, blur)
-    dog = build_dog(scale_space)
+    if blur == "fused":
+        scale_space, dog = build_pyramid_fused(image, cfg, emit_scales=True)
+    else:
+        scale_space = build_scale_space(image, cfg, blur)
+        dog = build_dog(scale_space)
     described = []
     for octave, (stack, d) in enumerate(zip(scale_space, dog)):
         extrema = compact_extrema(
@@ -157,8 +225,11 @@ def detect_and_describe_batched(
     The pyramid build is natively batched; per-image stages vmap over the
     leading axis.
     """
-    scale_space = build_scale_space(images, cfg, blur)
-    dog = build_dog(scale_space)
+    if blur == "fused":
+        scale_space, dog = build_pyramid_fused(images, cfg, emit_scales=True)
+    else:
+        scale_space = build_scale_space(images, cfg, blur)
+        dog = build_dog(scale_space)
 
     def one(*stacks_and_dogs):
         stacks = stacks_and_dogs[: cfg.num_octaves]
