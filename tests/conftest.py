@@ -25,6 +25,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def test_image():
     """Deterministic synthetic grayscale test image in [0,1], float64.
