@@ -29,7 +29,12 @@ from ..config import SiftConfig
 from ..core.types import Extrema, Keypoints, concat_keypoints
 from ..ops.descriptor import DescribedKeypoints, concat_described, describe_octave
 from ..ops.dog import difference_of_gaussians
-from ..ops.extrema import compact_extrema, find_extrema
+from ..ops.extrema import (
+    compact_extrema,
+    find_extrema,
+    find_extrema_from_masks,
+    select_refine_candidates,
+)
 from ..ops.gaussian import blur_exact, blur_matmul, blur_separable
 from ..ops.pallas.blur import blur_pallas
 from ..ops.pallas.octave import fused_octave, fused_octave_supported
@@ -48,15 +53,19 @@ def build_pyramid_fused(
     images: jax.Array,
     cfg: SiftConfig,
     emit_scales: bool = True,
+    emit_masks: bool = False,
     interpret: bool = False,
-) -> tuple[list[jax.Array] | None, list[jax.Array]]:
-    """Pyramid + DoG via the fused whole-octave Pallas kernel.
+) -> tuple[list[jax.Array] | None, list[jax.Array], list[jax.Array | None]]:
+    """Pyramid + DoG (+ extrema masks) via the fused octave Pallas kernel.
 
-    ``images``: ``(..., H, W)``. Returns ``(scale_space, dog)`` per
-    octave; ``scale_space`` is ``None`` when ``emit_scales=False`` (the
-    detect-only path — the Gaussian stacks never leave the chip, only
-    DoG and each octave's seed scale are written to HBM). Octaves whose
-    kernel plan does not fit VMEM fall back to the XLA separable path.
+    ``images``: ``(..., H, W)``. Returns ``(scale_space, dog, masks)``
+    per octave; ``scale_space`` is ``None`` when ``emit_scales=False``
+    (the detect-only path — the Gaussian stacks never leave the chip,
+    only DoG and each octave's seed scale are written to HBM), and
+    ``masks[o]`` is the kernel's in-VMEM 26-neighbor extrema mask
+    (``emit_masks=True``) or ``None``. Octaves whose kernel plan does
+    not fit VMEM fall back to the XLA separable path (mask ``None`` —
+    callers run the XLA extrema scan there).
     """
     batch_shape = images.shape[:-2]
     flat = images.reshape((-1,) + images.shape[-2:])
@@ -64,16 +73,30 @@ def build_pyramid_fused(
     on_tpu = jax.default_backend() == "tpu"
     scale_space: list[jax.Array] = []
     dogs: list[jax.Array] = []
+    masks_out: list[jax.Array | None] = []
     for octave in range(cfg.num_octaves):
         sigmas = [
             None if (octave > 0 and s == 0) else cfg.offset_sigma(octave, s)
             for s in range(cfg.scales_per_octave_total)
         ]
         h, w = base.shape[-2], base.shape[-1]
+        masks = None
         if (on_tpu or interpret) and fused_octave_supported(
+            h, w, sigmas, cfg.scales_per_octave, emit_masks=emit_masks
+        ):
+            scales, dog, seed, masks = fused_octave(
+                base,
+                sigmas,
+                cfg.scales_per_octave,
+                emit_scales=emit_scales,
+                emit_masks=emit_masks,
+                contrast_thr=cfg.contrast_prefilter_threshold,
+                interpret=interpret,
+            )
+        elif (on_tpu or interpret) and fused_octave_supported(
             h, w, sigmas, cfg.scales_per_octave
         ):
-            scales, dog, seed = fused_octave(
+            scales, dog, seed, _ = fused_octave(
                 base,
                 sigmas,
                 cfg.scales_per_octave,
@@ -94,8 +117,12 @@ def build_pyramid_fused(
                 scales.reshape(batch_shape + scales.shape[-3:])
             )
         dogs.append(dog.reshape(batch_shape + dog.shape[-3:]))
+        masks_out.append(
+            None if masks is None
+            else masks.reshape(batch_shape + masks.shape[-3:])
+        )
         base = downsample2x_nn(seed)
-    return (scale_space if emit_scales else None), dogs
+    return (scale_space if emit_scales else None), dogs, masks_out
 
 
 def build_scale_space(
@@ -136,43 +163,62 @@ def build_dog(scale_space: list[jax.Array]) -> list[jax.Array]:
 
 
 def detect_from_dog(
-    dog: list[jax.Array], cfg: SiftConfig
+    dog: list[jax.Array],
+    cfg: SiftConfig,
+    masks: list[jax.Array | None] | None = None,
 ) -> tuple[Keypoints, list[Extrema]]:
     """Extrema scan + refinement over per-octave DoG stacks (unbatched).
 
-    The returned ``Extrema`` keep the raw per-trio slot layout (segment
-    ``t`` = slots ``[t·cap, (t+1)·cap)``) for introspection/parity;
-    refinement internally consumes a compacted copy (cost is per slot).
+    ``masks[o]`` (optional) is the fused kernel's pre-computed extrema
+    mask for octave ``o`` — when present the XLA neighbor scan is
+    skipped. The returned ``Extrema`` keep the raw per-trio slot layout
+    (segment ``t`` = slots ``[t·cap, (t+1)·cap)``) for introspection/
+    parity; refinement internally consumes a compacted copy (cost is
+    per slot).
     """
-    extrema = [
-        find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
-        for octave, d in enumerate(dog)
-    ]
-    keypoints = [
-        refine_keypoints(
-            d, compact_extrema(e, cfg.refine_capacity(octave)), octave, cfg
-        )
-        for octave, (d, e) in enumerate(zip(dog, extrema))
-    ]
+    if masks is None:
+        masks = [None] * len(dog)
+    extrema = []
+    keypoints = []
+    for octave, (d, m) in enumerate(zip(dog, masks)):
+        if m is None:
+            e = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
+            sel = compact_extrema(e, cfg.refine_capacity(octave))
+        else:
+            # Mask path: ONE cross-trio selection serves as both the
+            # candidate output (positions + per-trio counters, the
+            # reference's stage-3 product, background.js:433-436) and
+            # the refinement input — the per-trio slot layout of
+            # find_extrema_from_masks remains available for
+            # introspection but is off the hot path.
+            e = sel = select_refine_candidates(
+                m, d, cfg, cfg.refine_capacity(octave)
+            )
+        extrema.append(e)
+        keypoints.append(refine_keypoints(d, sel, octave, cfg))
     return concat_keypoints(keypoints), extrema
 
 
 def _dog_pyramid(
     images: jax.Array, cfg: SiftConfig, blur: str
-) -> list[jax.Array]:
-    """DoG stacks per octave; ``blur="fused"`` takes the whole-octave
-    Pallas kernel path (Gaussian stacks never written to HBM)."""
+) -> tuple[list[jax.Array], list[jax.Array | None]]:
+    """Per-octave (DoG stacks, extrema masks); ``blur="fused"`` takes
+    the whole-octave Pallas kernel path (Gaussian stacks never written
+    to HBM, extrema masks computed in-VMEM)."""
     if blur == "fused":
-        _, dog = build_pyramid_fused(images, cfg, emit_scales=False)
-        return dog
-    return build_dog(build_scale_space(images, cfg, blur))
+        _, dog, masks = build_pyramid_fused(
+            images, cfg, emit_scales=False, emit_masks=True
+        )
+        return dog, masks
+    return build_dog(build_scale_space(images, cfg, blur)), [None] * cfg.num_octaves
 
 
 def detect(
     image: jax.Array, cfg: SiftConfig, blur: str = "separable"
 ) -> tuple[Keypoints, list[Extrema]]:
     """Full single-image detection: ``(H, W)`` grayscale → keypoints."""
-    return detect_from_dog(_dog_pyramid(image, cfg, blur), cfg)
+    dog, masks = _dog_pyramid(image, cfg, blur)
+    return detect_from_dog(dog, cfg, masks)
 
 
 def detect_batched(
@@ -183,12 +229,18 @@ def detect_batched(
     The pyramid build is natively batched (blur ops accept leading dims);
     extrema/refinement vmap over the batch.
     """
-    dog = _dog_pyramid(images, cfg, blur)
+    dog, masks = _dog_pyramid(images, cfg, blur)
+    n = len(dog)
+    have_mask = [m is not None for m in masks]
+    arrays = list(dog) + [m for m in masks if m is not None]
 
-    def _detect_one(*dog_octaves):
-        return detect_from_dog(list(dog_octaves), cfg)
+    def _detect_one(*arrs):
+        dogs = list(arrs[:n])
+        mask_iter = iter(arrs[n:])
+        ms = [next(mask_iter) if hm else None for hm in have_mask]
+        return detect_from_dog(dogs, cfg, ms)
 
-    return jax.vmap(_detect_one)(*dog)
+    return jax.vmap(_detect_one)(*arrays)
 
 
 def detect_and_describe(
@@ -202,16 +254,24 @@ def detect_and_describe(
     descriptors from the octave's Gaussian stack.
     """
     if blur == "fused":
-        scale_space, dog = build_pyramid_fused(image, cfg, emit_scales=True)
+        scale_space, dog, masks = build_pyramid_fused(
+            image, cfg, emit_scales=True, emit_masks=True
+        )
     else:
         scale_space = build_scale_space(image, cfg, blur)
         dog = build_dog(scale_space)
+        masks = [None] * cfg.num_octaves
     described = []
-    for octave, (stack, d) in enumerate(zip(scale_space, dog)):
-        extrema = compact_extrema(
-            find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
-            cfg.refine_capacity(octave),
-        )
+    for octave, (stack, d, m) in enumerate(zip(scale_space, dog, masks)):
+        if m is None:
+            extrema = compact_extrema(
+                find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
+                cfg.refine_capacity(octave),
+            )
+        else:
+            extrema = select_refine_candidates(
+                m, d, cfg, cfg.refine_capacity(octave)
+            )
         keypoints = refine_keypoints(d, extrema, octave, cfg)
         described.append(describe_octave(stack, keypoints, octave, cfg))
     return concat_described(described)
@@ -226,25 +286,38 @@ def detect_and_describe_batched(
     leading axis.
     """
     if blur == "fused":
-        scale_space, dog = build_pyramid_fused(images, cfg, emit_scales=True)
+        scale_space, dog, masks = build_pyramid_fused(
+            images, cfg, emit_scales=True, emit_masks=True
+        )
     else:
         scale_space = build_scale_space(images, cfg, blur)
         dog = build_dog(scale_space)
+        masks = [None] * cfg.num_octaves
+    n = cfg.num_octaves
+    have_mask = [m is not None for m in masks]
+    mask_arrays = [m for m in masks if m is not None]
 
-    def one(*stacks_and_dogs):
-        stacks = stacks_and_dogs[: cfg.num_octaves]
-        dogs = stacks_and_dogs[cfg.num_octaves :]
+    def one(*arrs):
+        stacks = arrs[:n]
+        dogs = arrs[n : 2 * n]
+        mask_iter = iter(arrs[2 * n :])
+        ms = [next(mask_iter) if hm else None for hm in have_mask]
         described = []
-        for octave, (stack, d) in enumerate(zip(stacks, dogs)):
-            extrema = compact_extrema(
-                find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
-                cfg.refine_capacity(octave),
-            )
+        for octave, (stack, d, m) in enumerate(zip(stacks, dogs, ms)):
+            if m is None:
+                extrema = compact_extrema(
+                    find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
+                    cfg.refine_capacity(octave),
+                )
+            else:
+                extrema = select_refine_candidates(
+                    m, d, cfg, cfg.refine_capacity(octave)
+                )
             keypoints = refine_keypoints(d, extrema, octave, cfg)
             described.append(describe_octave(stack, keypoints, octave, cfg))
         return concat_described(described)
 
-    return jax.vmap(one)(*scale_space, *dog)
+    return jax.vmap(one)(*scale_space, *dog, *mask_arrays)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "blur"))

@@ -86,64 +86,85 @@ def _trio_masks(dog: jax.Array, min3: jax.Array, max3: jax.Array, s: int, cfg: S
     return is_extremum & passes, is_extremum & ~passes
 
 
-def _compact(mask: jax.Array, values: jax.Array, capacity: int):
-    """Compact a 2-D interior mask into (y, x, value, valid) buffers.
+def first_k_set_indices(flat_mask: jax.Array, capacity: int):
+    """Indices of the first ``capacity`` set bits of a flat mask, in order.
 
-    Slot order is row-major over the interior — identical to the
-    reference's scan order (src/sift.js:221-222) — via group-compressed
-    ``top_k`` over negated indices (details below; a naive full
-    ``lax.sort`` of the H·W index vector measured ~1.3 s of the original
-    9.6 s frontend batch, a flat partial sort still ~0.3 s). Indices stay
-    < 2²⁴ at realistic image sizes so the float32 keys used by TPU
-    ``top_k`` are exact; a guard enforces this.
+    Sort-free replacement for ``top_k`` over negated indices (exact
+    ``lax.top_k`` on TPU measured ~0.9 ms per 77k-key call — it was 70 %
+    of the whole frontend). Hierarchical prefix-sum selection instead:
+    reshape the mask to ``(S, G, 128)``, count set bits per 128-lane row,
+    prefix-sum the counts at the superrow and row levels, then locate
+    each output slot ``j`` with three tiny rank queries (``sum(prefix ≤
+    j)`` over S, over G, and over the selected row's lane cumsum). All
+    dense vector ops on int32 — no sort, no scatter, no float keys.
+
+    Returns ``(idx (capacity,) int32, valid (capacity,) bool, total)``
+    where ``total`` is the full set-bit count (before capacity clipping);
+    invalid slots hold index 0.
+    """
+    n = flat_mask.shape[0]
+    lanes = 128
+    rows = -(-n // lanes)
+    g = min(rows, max(8, 1 << (max(rows, 1) - 1).bit_length() // 2))
+    s = -(-rows // g)
+    pad = s * g * lanes - n
+    m = flat_mask
+    if pad:
+        m = jnp.pad(m, (0, pad))
+    bits = m.reshape(s, g, lanes)
+    lane_count = jnp.sum(bits, axis=-1, dtype=jnp.int32)  # (S, G)
+    g_incl = jnp.cumsum(lane_count, axis=1)  # (S, G) inclusive
+    s_total = g_incl[:, -1]  # (S,)
+    s_incl = jnp.cumsum(s_total)  # (S,)
+    s_excl = s_incl - s_total
+    total = s_incl[-1]
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
+    valid = j < total
+
+    # Superrow of slot j: first s with inclusive prefix > j.
+    s_j = jnp.sum(s_incl[None, :] <= j[:, None], axis=1, dtype=jnp.int32)
+    s_safe = jnp.minimum(s_j, s - 1)
+    local_j = j - s_excl[s_safe]
+    # Row within the superrow.
+    g_rows = g_incl[s_safe]  # (capacity, G)
+    g_j = jnp.sum(g_rows <= local_j[:, None], axis=1, dtype=jnp.int32)
+    g_safe = jnp.minimum(g_j, g - 1)
+    row_excl = g_rows[jnp.arange(capacity), g_safe] - lane_count[s_safe, g_safe]
+    lane_j = local_j - row_excl
+    # Lane within the row.
+    row_bits = bits[s_safe, g_safe]  # (capacity, 128)
+    lane_incl = jnp.cumsum(row_bits.astype(jnp.int32), axis=1)
+    lane = jnp.sum(lane_incl <= lane_j[:, None], axis=1, dtype=jnp.int32)
+    lane = jnp.minimum(lane, lanes - 1)
+
+    idx = (s_safe * g + g_safe) * lanes + lane
+    return jnp.where(valid, idx, 0), valid, total
+
+
+def _compact(mask: jax.Array, values: jax.Array, capacity: int, offset: int = 1):
+    """Compact a 2-D mask into (y, x, value, valid) buffers.
+
+    Slot order is row-major — identical to the reference's scan order
+    (src/sift.js:221-222) — via the hierarchical prefix-sum selection of
+    :func:`first_k_set_indices`. ``offset`` maps mask coordinates to
+    image coordinates (1 for interior-cropped masks, 0 for full-plane
+    masks with a pre-zeroed border). Candidates are only lost to
+    capacity overflow itself (still counted by the per-trio
+    ``num_candidates`` counter, so it stays observable). Also returns
+    the total mask count.
     """
     hh, ww = mask.shape
-    size = hh * ww
-    assert size < (1 << 24), "image too large for exact float32 top_k keys"
-    flat_mask = mask.reshape(-1)
-
-    # Group-compressed selection: top_k over the full H·W vector is the
-    # wrong tool for a ~0.1%-dense mask (a direct partial sort measured
-    # ~300 ms of the frontend batch). Compress 16 pixels per group, take
-    # the first `capacity` NONEMPTY groups in row-major order (one top_k
-    # over H·W/16 keys), then expand the selected groups' bits and make
-    # the final in-order selection over capacity·16 keys. Exact: every
-    # candidate in a selected group survives to the expansion; candidates
-    # are only lost to capacity overflow itself (still counted by the
-    # per-trio `num_candidates` counter, so it stays observable).
-    group = 16
-    if size > 64 * group:
-        pad = (-size) % group
-        m = flat_mask
-        if pad:
-            m = jnp.pad(m, (0, pad))
-        mg = m.reshape(-1, group)  # (G, 16)
-        n_groups = mg.shape[0]
-        any_g = jnp.any(mg, axis=1)
-        g_idx = jax.lax.broadcasted_iota(jnp.int32, (n_groups, 1), 0).squeeze(-1)
-        g_keys = jnp.where(any_g, -g_idx.astype(jnp.float32), -jnp.inf)
-        g_cap = min(capacity, n_groups)
-        top_g, _ = jax.lax.top_k(g_keys, g_cap)
-        g_ok = jnp.isfinite(top_g)
-        g_sel = jnp.where(g_ok, (-top_g).astype(jnp.int32), 0)
-        bits = mg[g_sel] & g_ok[:, None]  # (g_cap, 16)
-        pos = g_sel[:, None] * group + jnp.arange(group)[None, :]
-        keys = jnp.where(bits, -pos.astype(jnp.float32), -jnp.inf).reshape(-1)
-    else:
-        idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1)
-        keys = jnp.where(flat_mask, -idx.astype(jnp.float32), -jnp.inf)
-
-    if keys.shape[0] < capacity:
-        keys = jnp.pad(
-            keys, (0, capacity - keys.shape[0]), constant_values=-jnp.inf
-        )
-    top_keys, _ = jax.lax.top_k(keys, capacity)
-    valid = jnp.isfinite(top_keys)
-    safe = jnp.where(valid, (-top_keys).astype(jnp.int32), 0)
-    y = safe // ww + 1
-    x = safe % ww + 1
+    safe, valid, total = first_k_set_indices(mask.reshape(-1), capacity)
+    if offset == 0:
+        # Park invalid slots at pixel (1, 1) so the emitted buffers are
+        # bit-identical to the interior-cropped path (whose slot 0 is
+        # interior pixel (1, 1)).
+        safe = jnp.where(valid, safe, ww + 1)
+    y = safe // ww + offset
+    x = safe % ww + offset
     value = values.reshape(-1)[safe]
-    return y.astype(jnp.int32), x.astype(jnp.int32), value, valid
+    return y.astype(jnp.int32), x.astype(jnp.int32), value, valid, total
 
 
 def compact_extrema(extrema: Extrema, capacity: int) -> Extrema:
@@ -151,21 +172,17 @@ def compact_extrema(extrema: Extrema, capacity: int) -> Extrema:
 
     The per-trio buffers are sized for worst-case density, so after the
     scan most slots are invalid — but refinement pays per SLOT (its
-    gathers dominate the frontend). One more top_k over slot indices
-    packs the valid candidates (order preserved: ascending slot = the
-    reference's trio-major, row-major emission order) into ``capacity``
-    slots. Overflow drops trailing candidates; the per-trio
+    gathers dominate the frontend). One more in-order selection over
+    slot indices packs the valid candidates (order preserved: ascending
+    slot = the reference's trio-major, row-major emission order) into
+    ``capacity`` slots. Overflow drops trailing candidates; the per-trio
     ``num_candidates`` counters still count everything, so it stays
     observable.
     """
     n = extrema.y.shape[0]
     if capacity >= n:
         return extrema
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    keys = jnp.where(extrema.valid, -idx.astype(jnp.float32), -jnp.inf)
-    top_keys, _ = jax.lax.top_k(keys, capacity)
-    ok = jnp.isfinite(top_keys)
-    slot = jnp.where(ok, (-top_keys).astype(jnp.int32), 0)
+    slot, ok, _ = first_k_set_indices(extrema.valid, capacity)
     return Extrema(
         y=extrema.y[slot],
         x=extrema.x[slot],
@@ -174,6 +191,100 @@ def compact_extrema(extrema: Extrema, capacity: int) -> Extrema:
         valid=ok & extrema.valid[slot],
         num_candidates=extrema.num_candidates,
         num_low_contrast=extrema.num_low_contrast,
+    )
+
+
+def find_extrema_from_masks(
+    masks: jax.Array,
+    dog: jax.Array,
+    cfg: SiftConfig,
+    capacity: int | None = None,
+) -> Extrema:
+    """Extrema from kernel-emitted mask planes (ops/pallas/octave.py).
+
+    ``masks``: ``(T, H, W)`` f32-encoded (0 = none, 1 = candidate,
+    2 = low-contrast reject, border pre-zeroed in-kernel) as produced by
+    the fused octave kernel's in-VMEM 26-neighbor scan; ``dog``:
+    ``(D, H, W)``. Produces the same ``Extrema`` layout as
+    :func:`find_extrema` (same slot order, same counters) without
+    re-reading the DoG stack for the neighbor scan — and without the
+    interior slice (a misaligned full-plane copy on TPU): selection runs
+    over the full aligned plane, whose border the kernel already zeroed.
+    """
+    cap = cfg.max_keypoints_per_trio if capacity is None else capacity
+    ys, xs, scale_levels, vals, valids = [], [], [], [], []
+    n_cand, n_low = [], []
+    for s in range(1, cfg.dog_per_octave - 1):
+        plane = masks[s - 1]
+        cand_mask = plane == 1.0
+        y, x, value, valid, total = _compact(cand_mask, dog[s], cap, offset=0)
+        ys.append(y)
+        xs.append(x)
+        scale_levels.append(jnp.full((cap,), s, jnp.int32))
+        vals.append(value)
+        valids.append(valid)
+        n_cand.append(total)
+        n_low.append(jnp.sum(plane == 2.0, dtype=jnp.int32))
+
+    return Extrema(
+        y=jnp.concatenate(ys),
+        x=jnp.concatenate(xs),
+        scale_level=jnp.concatenate(scale_levels),
+        value=jnp.concatenate(vals),
+        valid=jnp.concatenate(valids),
+        num_candidates=jnp.stack(n_cand),
+        num_low_contrast=jnp.stack(n_low),
+    )
+
+
+def select_refine_candidates(
+    masks: jax.Array, dog: jax.Array, cfg: SiftConfig, capacity: int
+) -> Extrema:
+    """One cross-trio selection of refinement candidates from mask planes.
+
+    The per-trio :func:`find_extrema_from_masks` buffers exist for
+    stage-3 introspection/parity; refinement only needs the first
+    ``capacity`` candidates in (trio-major, row-major) order — which is
+    exactly row-major order over the stacked ``(T, H, W)`` mask volume.
+    Selecting them in ONE :func:`first_k_set_indices` pass replaces the
+    per-trio compaction + slot re-gather (``compact_extrema``) the
+    refine path used to pay for. Semantics differ from the old chain
+    only under per-trio capacity overflow (the old path clipped each
+    trio before compacting; this one applies the global budget
+    directly — strictly closer to the reference, which never drops
+    candidates, reference/background.js:433-436).
+    """
+    t, h, w = masks.shape
+    cand = masks == 1.0
+    idx, valid, _ = first_k_set_indices(cand.reshape(-1), capacity)
+    plane = h * w
+    trio = idx // plane
+    rem = idx - trio * plane
+    y = rem // w
+    x = rem - y * w
+    scale_level = trio + 1
+    # Park invalid slots at trio 0, pixel (1, 1) (matches _compact).
+    y = jnp.where(valid, y, 1)
+    x = jnp.where(valid, x, 1)
+    scale_level = jnp.where(valid, scale_level, 1)
+    value = dog.reshape(-1)[scale_level * plane + y * w + x]
+    # Per-trio counters mirror the reference's accounting
+    # (reference/background.js:433-436; SURVEY.md §5.5) — candidates
+    # beyond capacity stay observable through them.
+    n_cand = jnp.stack(
+        [jnp.sum(cand[i], dtype=jnp.int32) for i in range(t)]
+    )
+    n_low = jnp.stack(
+        [jnp.sum(masks[i] == 2.0, dtype=jnp.int32) for i in range(t)]
+    )
+    return Extrema(
+        y=y.astype(jnp.int32),
+        x=x.astype(jnp.int32),
+        scale_level=scale_level.astype(jnp.int32),
+        value=value,
+        valid=valid,
+        num_candidates=n_cand,
+        num_low_contrast=n_low,
     )
 
 
@@ -197,13 +308,13 @@ def find_extrema(
     for s in range(1, cfg.dog_per_octave - 1):
         cand_mask, low_mask = _trio_masks(dog, min3, max3, s, cfg)
         center = dog[s, 1 : h - 1, 1 : w - 1]
-        y, x, value, valid = _compact(cand_mask, center, cap)
+        y, x, value, valid, total = _compact(cand_mask, center, cap)
         ys.append(y)
         xs.append(x)
         scale_levels.append(jnp.full((cap,), s, jnp.int32))
         vals.append(value)
         valids.append(valid)
-        n_cand.append(jnp.sum(cand_mask, dtype=jnp.int32))
+        n_cand.append(total)
         n_low.append(jnp.sum(low_mask, dtype=jnp.int32))
 
     return Extrema(

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused whole-octave pyramid + DoG.
+"""Pallas TPU kernel: fused whole-octave pyramid + DoG + extrema masks.
 
 Round-1's kernel blurred ONE scale per ``pallas_call``: every scale
 re-read the octave base from HBM, DoG was a separate XLA pass, and the
@@ -23,15 +23,25 @@ base image:
 - The S−1 DoG planes (reference sign: ``L(σ_{s-1}) − L(σ_s)``,
   reference/background.js:276-277) are formed in-register from adjacent
   scales and written alongside.
+- ``emit_masks=True`` additionally runs the 26-neighbor strict extrema
+  scan (reference/src/sift.js:212-316) while the DoG planes sit in
+  VMEM: each scale is blurred on a 1-pixel halo ``(tile_h+2, w+2)``
+  window, per-plane separable 3-column min/max rows are shared across
+  trios, and one encoded f32 mask plane per trio is emitted
+  (0 = not extremum, 1 = candidate, 2 = low-contrast reject,
+  reference/src/sift.js:285-307). This removes the entire XLA
+  re-read + shifted-slice mask pass (measured ~300 ms of the 64-image
+  frontend batch vs ~5 ms of extra mask traffic here).
 - ``emit_scales=False`` (the detect-only path: reference stages 3–4
   need only DoG) skips writing the Gaussian stack to HBM entirely —
   only DoG and the next octave's seed scale (index ``spo``,
   reference/background.js:110-143) leave the chip.
 
 Ideal HBM traffic per octave at 64×(960×1280) f32 (octave 0 of the
-bench config): read stripes ~0.36 GB + write 7 DoG + 1 seed ~2.5 GB;
-the whole 4-octave pyramid+DoG lands at ~3.9 GB → ~5 ms at a v5e's
-819 GB/s, vs 243 ms for the round-1 per-scale kernel.
+bench config): read stripes ~0.36 GB + write 7 DoG + 1 seed ~2.5 GB
+(+ 5 mask planes ~1.6 GB when emitted); the whole 4-octave pyramid+DoG
+lands at ~3.9 GB → ~5 ms at a v5e's 819 GB/s, vs 243 ms for the
+round-1 per-scale kernel.
 """
 
 from __future__ import annotations
@@ -56,79 +66,185 @@ def _align(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def _plan(h: int, w: int, radii: list[int], n_out_planes: int):
-    """Pick a stripe height; None if no configuration fits VMEM."""
+def _plan(
+    h: int,
+    w: int,
+    radii: list[int],
+    n_out_planes: int,
+    n_halo_planes: int = 0,
+):
+    """Pick a stripe height; None if no configuration fits VMEM.
+
+    ``n_halo_planes`` counts the per-scale DoG halo planes kept live in
+    VMEM for the in-kernel extrema scan (plus its min/max temporaries).
+    """
     r_max = max(radii)
     taps_max = 2 * max(radii) + 1
-    wp = _align(w + 2 * r_max, 128)
+    # +1 halo pixel for the extrema windows when masks are emitted.
+    rh = r_max + (1 if n_halo_planes else 0)
+    wp = _align(w + 2 * rh, 128)
     for tile_h in (128, 64, 32, 16, 8):
-        hp = _align(tile_h + 2 * r_max, 8)
+        hp = _align(tile_h + 2 * rh, 8)
         stripe_bytes = 4 * hp * wp
         out_bytes = 4 * n_out_planes * tile_h * w
+        halo_bytes = 4 * n_halo_planes * (tile_h + 2) * _align(w + 2, 128)
+        # min/max row temporaries (2 per halo plane) + mask scratch.
+        mask_bytes = (
+            4 * 2 * n_halo_planes * (tile_h + 2) * _align(w, 128)
+            + 6 * 4 * tile_h * _align(w, 128)
+            if n_halo_planes
+            else 0
+        )
         # in double-buffered + tap temporaries + double-buffered outputs.
-        need = 2 * stripe_bytes + (taps_max + 1) * stripe_bytes + 2 * out_bytes
+        need = (
+            2 * stripe_bytes
+            + (taps_max + 1) * stripe_bytes
+            + halo_bytes
+            + mask_bytes
+            + 2 * out_bytes
+        )
         if need <= _VMEM_BUDGET:
-            return tile_h, hp, wp, r_max
+            return tile_h, hp, wp, rh
     return None
 
 
-def fused_octave_supported(h: int, w: int, sigmas, spo: int) -> bool:
+def fused_octave_supported(
+    h: int, w: int, sigmas, spo: int, emit_masks: bool = False
+) -> bool:
     radii = [kernel_radius(s) for s in sigmas if s is not None]
     if not radii:
         return False
-    n_planes = len(sigmas) + (len(sigmas) - 1) + 1
-    return _plan(h, w, radii, n_planes) is not None
+    n_scales = len(sigmas)
+    n_trios = n_scales - 3 if emit_masks else 0
+    n_planes = n_scales + (n_scales - 1) + 1 + n_trios
+    n_halo = (n_scales - 1) if emit_masks else 0
+    return _plan(h, w, radii, n_planes, n_halo) is not None
 
 
 def _octave_kernel(
     stripes_ref,
     *out_refs,
     taps_per_scale,
-    r_max,
+    rh,
     tile_h,
     w,
     spo,
     emit_scales,
+    emit_masks,
+    contrast_thr,
+    h,
 ):
-    """One (batch, stripe) grid step: all scales + DoG from one stripe.
+    """One (batch, stripe) grid step: all scales + DoG (+ masks).
 
     ``taps_per_scale[s]`` is a tuple of float taps, or None when scale s
     is the unblurred base (octave ≥1 scale 0, background.js:110-143).
-    ``out_refs`` is ``(scales, dog, seed)`` or ``(dog, seed)`` when the
-    Gaussian stack is not emitted.
+    ``out_refs`` is ``([scales], dog, seed, [masks])``.
     """
-    if emit_scales:
-        scales_ref, dog_ref, seed_ref = out_refs
-    else:
-        dog_ref, seed_ref = out_refs
+    refs = list(out_refs)
+    scales_ref = refs.pop(0) if emit_scales else None
+    dog_ref = refs.pop(0)
+    seed_ref = refs.pop(0)
+    masks_ref = refs.pop(0) if emit_masks else None
+
+    # Blur on a 1-px halo window when masks are needed (the extrema scan
+    # reads each DoG plane's 8/9-neighborhoods); hx=1 shifts every slice
+    # so the emitted (tile_h, w) block is bit-identical either way.
+    hx = 1 if emit_masks else 0
+    th2 = tile_h + 2 * hx
+    w2 = w + 2 * hx
+
     stripe = stripes_ref[0, 0]  # (hp, wp)
     prev = None
+    dogs = []
     for s, taps in enumerate(taps_per_scale):
         if taps is None:
-            # Unblurred base: crop the stripe to the output window.
-            cur = stripe[r_max : r_max + tile_h, r_max : r_max + w]
+            # Unblurred base: crop the stripe to the (haloed) window.
+            cur = stripe[rh - hx : rh - hx + th2, rh - hx : rh - hx + w2]
         else:
             r = (len(taps) - 1) // 2
-            # Row pass over the rows the column pass will consume:
-            # stripe rows [r_max - r, r_max + tile_h + r) → (tile_h+2r, w).
-            y0 = r_max - r
-            x0 = r_max - r
-            rows = stripe[y0 : y0 + tile_h + 2 * r]
-            rp = rows[:, x0 : x0 + w] * taps[0]
+            # Row pass over the rows the column pass will consume.
+            y0 = rh - r - hx
+            x0 = rh - r - hx
+            rows = stripe[y0 : y0 + th2 + 2 * r]
+            rp = rows[:, x0 : x0 + w2] * taps[0]
             for t in range(1, len(taps)):
-                rp = rp + rows[:, x0 + t : x0 + t + w] * taps[t]
-            # Column pass → (tile_h, w).
-            cur = rp[0:tile_h] * taps[0]
+                rp = rp + rows[:, x0 + t : x0 + t + w2] * taps[t]
+            # Column pass → (th2, w2).
+            cur = rp[0:th2] * taps[0]
             for t in range(1, len(taps)):
-                cur = cur + rp[t : t + tile_h] * taps[t]
+                cur = cur + rp[t : t + th2] * taps[t]
+        inner = cur[hx : hx + tile_h, hx : hx + w]
         if emit_scales:
-            scales_ref[0, s] = cur
+            scales_ref[0, s] = inner
         if s == spo:
-            seed_ref[0, 0] = cur
+            seed_ref[0, 0] = inner
         if prev is not None:
             # Reference DoG sign: lower − upper (background.js:276-277).
-            dog_ref[0, s - 1] = prev - cur
+            d = prev - cur
+            dog_ref[0, s - 1] = d[hx : hx + tile_h, hx : hx + w]
+            if emit_masks:
+                dogs.append(d)
         prev = cur
+
+    if not emit_masks:
+        return
+
+    # --- in-VMEM 26-neighbor strict extrema scan -----------------------
+    # Per-plane separable 3-column row min/max, shared by every trio
+    # that touches the plane (same decomposition as ops/extrema.py).
+    rmins, rmaxs = [], []
+    for d in dogs:
+        a = d[:, 0:w]
+        b = d[:, 1 : 1 + w]
+        c = d[:, 2 : 2 + w]
+        rmins.append(jnp.minimum(jnp.minimum(a, b), c))
+        rmaxs.append(jnp.maximum(jnp.maximum(a, b), c))
+
+    def col3(rm, lo):
+        return lo(lo(rm[0:tile_h], rm[1 : 1 + tile_h]), rm[2 : 2 + tile_h])
+
+    for t, s in enumerate(range(1, len(dogs) - 1)):
+        center = dogs[s][1 : 1 + tile_h, 1 : 1 + w]
+        # Ring (8-neighbor) min/max of the center plane: top/bottom rows
+        # from the separable row min/max, the middle row from the two
+        # lateral neighbors only (center excluded — strictness).
+        mid_min = jnp.minimum(
+            dogs[s][1 : 1 + tile_h, 0:w], dogs[s][1 : 1 + tile_h, 2 : 2 + w]
+        )
+        mid_max = jnp.maximum(
+            dogs[s][1 : 1 + tile_h, 0:w], dogs[s][1 : 1 + tile_h, 2 : 2 + w]
+        )
+        ring_min = jnp.minimum(
+            jnp.minimum(rmins[s][0:tile_h], rmins[s][2 : 2 + tile_h]), mid_min
+        )
+        ring_max = jnp.maximum(
+            jnp.maximum(rmaxs[s][0:tile_h], rmaxs[s][2 : 2 + tile_h]), mid_max
+        )
+        nb_min = jnp.minimum(
+            jnp.minimum(col3(rmins[s - 1], jnp.minimum), col3(rmins[s + 1], jnp.minimum)),
+            ring_min,
+        )
+        nb_max = jnp.maximum(
+            jnp.maximum(col3(rmaxs[s - 1], jnp.maximum), col3(rmaxs[s + 1], jnp.maximum)),
+            ring_max,
+        )
+        is_ext = (center > nb_max) | (center < nb_min)
+        passes = jnp.abs(center) >= contrast_thr
+        # Zero the image border in-kernel (the scan covers interior
+        # pixels only, reference/src/sift.js:221-222) so consumers can
+        # select over the FULL aligned plane — the XLA-side interior
+        # slice was a misaligned 2 GB copy per batch.
+        y_glob = (
+            pl.program_id(1) * tile_h
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+        )
+        x_glob = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
+        interior = (
+            (y_glob >= 1) & (y_glob <= h - 2) & (x_glob >= 1) & (x_glob <= w - 2)
+        )
+        masks_ref[0, t] = jnp.where(
+            is_ext & interior, jnp.where(passes, 1.0, 2.0), 0.0
+        ).astype(center.dtype)
 
 
 def fused_octave(
@@ -136,25 +252,35 @@ def fused_octave(
     sigmas: list[float | None],
     spo: int,
     emit_scales: bool = True,
+    emit_masks: bool = False,
+    contrast_thr: float = 0.0,
     interpret: bool = False,
 ):
-    """Whole-octave pyramid+DoG from the octave base image.
+    """Whole-octave pyramid+DoG (+ extrema masks) from the octave base.
 
     ``base``: ``(B, H, W)`` float32. ``sigmas[s]`` is the *offset* sigma
     blurring the base to scale ``s`` (semigroup relation,
     reference/background.js:157-177), or ``None`` for the unblurred
-    base plane. Returns ``(scales, dog, seed)`` with ``scales`` of shape
-    ``(B, S, H, W)`` (or ``None`` when ``emit_scales=False``), ``dog``
-    ``(B, S-1, H, W)``, and ``seed = scales[:, spo]`` ``(B, H, W)``.
+    base plane. Returns ``(scales, dog, seed, masks)`` with ``scales``
+    of shape ``(B, S, H, W)`` (or ``None`` when ``emit_scales=False``),
+    ``dog`` ``(B, S-1, H, W)``, ``seed = scales[:, spo]`` ``(B, H, W)``,
+    and ``masks`` ``(B, T, H, W)`` f32-encoded (0/1/2; trios centered at
+    DoG scale 1..S-3) or ``None`` when ``emit_masks=False``. Mask
+    pixels are valid over the image interior only (callers slice
+    ``[1:h-1, 1:w-1]``, reference/src/sift.js:221-222).
     """
     b, h, w = base.shape
     n_scales = len(sigmas)
     radii = [kernel_radius(s) for s in sigmas if s is not None]
-    n_out_planes = (n_scales if emit_scales else 0) + (n_scales - 1) + 1
-    plan = _plan(h, w, radii, n_out_planes)
+    n_trios = n_scales - 3 if emit_masks else 0
+    n_out_planes = (
+        (n_scales if emit_scales else 0) + (n_scales - 1) + 1 + n_trios
+    )
+    n_halo = (n_scales - 1) if emit_masks else 0
+    plan = _plan(h, w, radii, n_out_planes, n_halo)
     if plan is None:
         raise ValueError("no stripe plan fits VMEM; use the XLA fallback")
-    tile_h, hp, wp, r_max = plan
+    tile_h, hp, wp, rh = plan
 
     taps_per_scale = tuple(
         None
@@ -168,11 +294,11 @@ def fused_octave(
     # to the aligned lane count (clamp-to-edge on real borders; the
     # alignment tail replicates the edge too, harmless — it is cropped).
     rows_needed = (n_stripes - 1) * tile_h + hp
-    bottom_pad = max(rows_needed - h - r_max, 0)
-    right_pad = wp - w - r_max
+    bottom_pad = max(rows_needed - h - rh, 0)
+    right_pad = wp - w - rh
     padded = jnp.pad(
         base,
-        [(0, 0), (r_max, bottom_pad), (r_max, right_pad)],
+        [(0, 0), (rh, bottom_pad), (rh, right_pad)],
         mode="edge",
     )
     # Materialize overlapping stripes (B, n_stripes, hp, wp): static
@@ -214,20 +340,36 @@ def fused_octave(
             memory_space=pltpu.VMEM,
         )
     )
+    if emit_masks:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, n_trios, hout, w), base.dtype)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, n_trios, tile_h, w),
+                lambda bi, si: (bi, 0, si, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     kernel = functools.partial(
         _octave_kernel,
         taps_per_scale=taps_per_scale,
-        r_max=r_max,
+        rh=rh,
         tile_h=tile_h,
         w=w,
         spo=spo,
         emit_scales=emit_scales,
+        emit_masks=emit_masks,
+        contrast_thr=float(contrast_thr),
+        h=h,
     )
     flops = 0
     for taps in taps_per_scale:
         if taps is not None:
             flops += 2 * 2 * len(taps) * h * w * b
+    if emit_masks:
+        flops += 40 * n_trios * h * w * b
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_stripes),
@@ -248,8 +390,9 @@ def fused_octave(
         interpret=interpret,
     )(stripes)
 
-    dog = outs[-2][:, :, :h, :]
-    seed = outs[-1][:, 0, :h, :]
-    if emit_scales:
-        return outs[0][:, :, :h, :], dog, seed
-    return None, dog, seed
+    outs = list(outs)
+    masks = outs.pop()[:, :, :h, :] if emit_masks else None
+    seed = outs.pop()[:, 0, :h, :]
+    dog = outs.pop()[:, :, :h, :]
+    scales = outs.pop()[:, :, :h, :] if emit_scales else None
+    return scales, dog, seed, masks

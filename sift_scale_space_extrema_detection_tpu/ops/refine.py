@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
+from .extrema import first_k_set_indices
 from ..core.types import (
     ACCEPTED,
     REJECT_EDGE,
@@ -72,6 +73,7 @@ def _refine_vectorized(
     edge_thr = cfg.edge_threshold
     delta = math.pow(2.0, octave - 1)
     sigma_coeff = (delta / cfg.min_interpixel_distance) * cfg.min_blur_level
+
     dog_flat = dog.reshape(-1)
 
     # Flat offsets of the 3×3×3 neighborhood, ordered (ds, dm, dn).
@@ -88,7 +90,11 @@ def _refine_vectorized(
     def cube_at(s, m, n):
         # Positions are always within the valid interior while active
         # (enforced by the out-of-bounds test); clip for the masked-off
-        # lanes so indices stay legal.
+        # lanes so indices stay legal. One flat 27-element ``jnp.take``
+        # per iteration: measured alternatives were strictly worse on
+        # TPU — per-keypoint ``dynamic_slice`` under vmap ~40×, and a
+        # ``lax.gather`` of three (1,3,3) slices ~13× (multi-dim slice
+        # gathers lower to serial row fetches).
         sc = jnp.clip(s, 1, d_scales - 2)
         mc = jnp.clip(m, 1, h - 2)
         nc = jnp.clip(n, 1, w - 2)
@@ -240,11 +246,7 @@ def _refine_vectorized(
         # is a config knob) simply keep their REJECT_MAX_ITERATIONS
         # fate. Padding lanes reuse slot 0 and are marked done, so the
         # write-back stores unchanged values for them.
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n_slots, 1), 0).squeeze(-1)
-        keys = jnp.where(~state["done"], -idx.astype(jnp.float32), -jnp.inf)
-        top_keys, _ = jax.lax.top_k(keys, active_cap)
-        ok = jnp.isfinite(top_keys)
-        sel_read = jnp.where(ok, (-top_keys).astype(jnp.int32), 0)
+        sel_read, ok, _ = first_k_set_indices(~state["done"], active_cap)
         sub = {k: v[sel_read] for k, v in state.items()}
         sub["done"] = sub["done"] | ~ok
         for _ in range(remaining):

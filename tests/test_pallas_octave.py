@@ -47,7 +47,7 @@ def test_fused_octave_matches_separable(with_unblurred_base):
     ]
     assert fused_octave_supported(40, 56, sigmas, cfg.scales_per_octave)
 
-    scales, dog, seed = fused_octave(
+    scales, dog, seed, _ = fused_octave(
         x, sigmas, cfg.scales_per_octave, emit_scales=True, interpret=True
     )
     ref_scales, ref_dog, ref_seed = _reference_octave(
@@ -67,7 +67,7 @@ def test_fused_octave_no_scales_emits_dog_and_seed_only():
     x = jnp.asarray(rng.random((1, 33, 47)).astype(np.float32))
     cfg = SiftConfig()
     sigmas = [cfg.offset_sigma(0, s) for s in range(cfg.scales_per_octave_total)]
-    scales, dog, seed = fused_octave(
+    scales, dog, seed, _ = fused_octave(
         x, sigmas, cfg.scales_per_octave, emit_scales=False, interpret=True
     )
     assert scales is None
@@ -83,7 +83,7 @@ def test_build_pyramid_fused_matches_xla_pipeline():
     rng = np.random.default_rng(2)
     img = jnp.asarray(rng.random((2, 36, 44)).astype(np.float32))
     cfg = SiftConfig(num_octaves=3)
-    scale_space, dogs = build_pyramid_fused(
+    scale_space, dogs, _ = build_pyramid_fused(
         img, cfg, emit_scales=True, interpret=True
     )
     ref_scales = build_scale_space(img, cfg, blur="separable")
@@ -104,7 +104,7 @@ def test_build_pyramid_fused_detect_only_path():
     rng = np.random.default_rng(3)
     img = jnp.asarray(rng.random((30, 38)).astype(np.float32))
     cfg = SiftConfig(num_octaves=2)
-    scale_space, dogs = build_pyramid_fused(
+    scale_space, dogs, _ = build_pyramid_fused(
         img, cfg, emit_scales=False, interpret=True
     )
     assert scale_space is None
@@ -114,3 +114,52 @@ def test_build_pyramid_fused_detect_only_path():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-5
         )
+
+
+def test_fused_octave_masks_match_xla_scan():
+    """In-kernel extrema masks == XLA scan masks on the same DoG."""
+    from sift_scale_space_extrema_detection_tpu.ops.extrema import (
+        _neighborhood_min_max,
+        _trio_masks,
+        find_extrema,
+        find_extrema_from_masks,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(
+        (rng.random((2, 40, 56)) ** 2).astype(np.float32)
+    )
+    cfg = SiftConfig()
+    sigmas = [cfg.offset_sigma(0, s) for s in range(cfg.scales_per_octave_total)]
+    assert fused_octave_supported(
+        40, 56, sigmas, cfg.scales_per_octave, emit_masks=True
+    )
+    _, dog, _, masks = fused_octave(
+        x,
+        sigmas,
+        cfg.scales_per_octave,
+        emit_scales=False,
+        emit_masks=True,
+        contrast_thr=cfg.contrast_prefilter_threshold,
+        interpret=True,
+    )
+    assert masks.shape == (2, cfg.scales_per_octave, 40, 56)
+
+    for b in range(2):
+        d = dog[b]
+        min3, max3 = _neighborhood_min_max(d)
+        for s in range(1, cfg.dog_per_octave - 1):
+            cand, low = _trio_masks(d, min3, max3, s, cfg)
+            got = np.asarray(masks[b, s - 1, 1:-1, 1:-1])
+            np.testing.assert_array_equal(got == 1.0, np.asarray(cand))
+            np.testing.assert_array_equal(got == 2.0, np.asarray(low))
+
+        # And the Extrema built from masks equals the XLA-scan Extrema.
+        e_ref = find_extrema(d, cfg, 64)
+        e_got = find_extrema_from_masks(masks[b], d, cfg, 64)
+        for field in ("y", "x", "scale_level", "value", "valid",
+                      "num_candidates", "num_low_contrast"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(e_got, field)),
+                np.asarray(getattr(e_ref, field)),
+            )
