@@ -33,7 +33,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SiftConfig
 from ..models.frontend import detect_and_describe_batched
-from ..sfm.ba import BAState, Observations
+from ..sfm.ba import (
+    BAState,
+    Observations,
+    _obs_terms,
+    backsub_landmarks,
+    shard_schur_pieces,
+    solve_reduced,
+)
 from ..sfm.geometry import so3_exp
 
 
@@ -123,12 +130,14 @@ def distributed_bundle_adjust(
     mesh: Mesh,
     num_iterations: int = 10,
     num_fixed_cameras: int = 1,
+    huber_delta: float | None = None,
 ) -> tuple[BAState, jax.Array]:
     """Landmark-sharded LM bundle adjustment over a device mesh.
 
-    Semantics match :func:`..sfm.ba.bundle_adjust` (plain least squares);
-    the Schur reduction of the landmark block is a ``psum`` over the
-    mesh axis. Returns (refined state, final cost).
+    Semantics match :func:`..sfm.ba.bundle_adjust` (including IRLS Huber
+    weighting via ``huber_delta``); the Schur reduction of the landmark
+    block is a ``psum`` over the mesh axis. Returns (refined state,
+    final cost).
     """
     axis = mesh.axis_names[0]
     n_shards = mesh.shape[axis]
@@ -137,36 +146,27 @@ def distributed_bundle_adjust(
     l_local = l_padded // n_shards
     num_cameras = state.rotations.shape[0]
     dtype = state.points.dtype
-    eye3 = jnp.eye(3, dtype=dtype)
-    eye6 = jnp.eye(6, dtype=dtype)
-    cam_ids = jnp.arange(num_cameras)
-    free = (cam_ids >= num_fixed_cameras).astype(dtype)
 
-    def residual_terms(rots, ts, kmat, points_local, cam, lm_local, uv, own):
-        """Masked residuals + Jacobians for locally-owned observations."""
-        r = rots[cam]
-        t = ts[cam]
+    def local_residuals(rots, ts, kmat, points_local, cam, lm_local, uv, own):
         x = points_local[jnp.clip(lm_local, 0, l_local - 1)]
-        m = own.astype(dtype)
+        res, _, _ = _obs_terms(rots, ts, kmat, x, cam, uv, own)
+        return res
 
-        def one(rot_o, t_o, x_o, uv_o, m_o):
-            def res_fn(dc, dl):
-                r_new = so3_exp(dc[:3]) @ rot_o
-                t_new = t_o + dc[3:]
-                xc = r_new @ (x_o + dl) + t_new
-                z = jnp.where(jnp.abs(xc[2]) < 1e-6, 1e-6, xc[2])
-                u = kmat[0, 0] * xc[0] / z + kmat[0, 2]
-                v = kmat[1, 1] * xc[1] / z + kmat[1, 2]
-                return jnp.stack([u - uv_o[0], v - uv_o[1]])
+    def local_cost(res):
+        if huber_delta is None:
+            return 0.5 * jnp.sum(res * res)
+        nrm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
+        quad = 0.5 * nrm * nrm
+        lin = huber_delta * (nrm - 0.5 * huber_delta)
+        return jnp.sum(jnp.where(nrm <= huber_delta, quad, lin))
 
-            z6 = jnp.zeros(6, dtype)
-            z3 = jnp.zeros(3, dtype)
-            res = res_fn(z6, z3)
-            jc = jax.jacfwd(res_fn, argnums=0)(z6, z3)
-            jl = jax.jacfwd(res_fn, argnums=1)(z6, z3)
-            return res * m_o, jc * m_o, jl * m_o
-
-        return jax.vmap(one)(r, t, x, uv, m)
+    def local_weights(res):
+        if huber_delta is None:
+            return None
+        nrm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
+        return jnp.where(nrm <= huber_delta, 1.0, huber_delta / nrm).astype(
+            dtype
+        )
 
     def step(points_local, rots, ts, kmat, cam, lm, uv, valid, lam, cost):
         shard = jax.lax.axis_index(axis)
@@ -174,87 +174,32 @@ def distributed_bundle_adjust(
         lm_local = lm - offset
         own = valid & (lm_local >= 0) & (lm_local < l_local)
 
-        res, jc, jl = residual_terms(
+        # Shared BA core (sfm/ba.py) computes this shard's contribution;
+        # camera-side pieces are partial sums over locally-owned
+        # observations → one psum each produces the replicated reduced
+        # system, solved identically on every device.
+        res_cur = local_residuals(
             rots, ts, kmat, points_local, cam, lm_local, uv, own
         )
-
-        # Camera-side sums: each obs owned by exactly one device → psum.
-        h_cc = jax.lax.psum(
-            jax.ops.segment_sum(
-                jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
-            ),
-            axis,
+        pieces = shard_schur_pieces(
+            rots, ts, kmat, points_local, cam, lm_local, uv, own, lam,
+            num_cameras, local_weights(res_cur),
         )
-        b_c = jax.lax.psum(
-            jax.ops.segment_sum(
-                -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
-            ),
-            axis,
+        h_cc = jax.lax.psum(pieces.h_cc, axis)
+        b_c = jax.lax.psum(pieces.b_c, axis)
+        s_off = jax.lax.psum(pieces.s_off, axis)
+        rhs_off = jax.lax.psum(pieces.rhs_off, axis)
+        delta_c = solve_reduced(
+            h_cc, b_c, s_off, rhs_off, lam, num_fixed_cameras
         )
-        # Landmark-side sums stay local.
-        seg = jnp.where(own, lm_local, l_local)  # overflow bucket
-        h_ll = jax.ops.segment_sum(
-            jnp.einsum("oki,okj->oij", jl, jl), seg, l_local + 1
-        )[:l_local]
-        b_l = jax.ops.segment_sum(
-            -jnp.einsum("oki,ok->oi", jl, res), seg, l_local + 1
-        )[:l_local]
-        pair = cam * (l_local + 1) + seg
-        w = jax.ops.segment_sum(
-            jnp.einsum("oki,okj->oij", jc, jl),
-            pair,
-            num_cameras * (l_local + 1),
-        ).reshape(num_cameras, l_local + 1, 6, 3)[:, :l_local]
-
-        def damp(h, eye):
-            diag = jnp.diagonal(h, axis1=-2, axis2=-1)
-            d = lam * jnp.maximum(diag, 1e-8) + 1e-8
-            return h + d[..., :, None] * eye
-
-        h_cc_d = damp(h_cc, eye6)
-        h_ll_d = damp(h_ll, eye3)
-        h_ll_inv = jnp.linalg.inv(h_ll_d)
-
-        # Schur reduction: local landmark contribution as ONE flattened
-        # (6C × 3L_local) matmul (see sfm/ba._solve_schur), then one psum.
-        w_hinv = jnp.einsum("clij,ljk->clik", w, h_ll_inv)
-        w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(num_cameras * 6, l_local * 3)
-        wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(
-            num_cameras * 6, l_local * 3
-        )
-        s_off_local = jnp.dot(
-            wh2,
-            w2.T,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
-        ).reshape(num_cameras, 6, num_cameras, 6)
-        rhs_local = (wh2 @ b_l.reshape(l_local * 3)).reshape(num_cameras, 6)
-        s_off = jax.lax.psum(s_off_local, axis)
-        rhs = b_c - jax.lax.psum(rhs_local, axis)
-
-        s_mat = -s_off
-        s_mat = s_mat.at[cam_ids, :, cam_ids, :].add(h_cc_d)
-        mask = free[:, None, None, None] * free[None, None, :, None]
-        s_mat = s_mat * mask
-        s_mat = s_mat.at[cam_ids, :, cam_ids, :].add(
-            (1.0 - free)[:, None, None] * eye6
-        )
-        rhs = rhs * free[:, None]
-
-        delta_c = jnp.linalg.solve(
-            s_mat.reshape(num_cameras * 6, num_cameras * 6),
-            rhs.reshape(num_cameras * 6),
-        ).reshape(num_cameras, 6) * free[:, None]
-
-        wt_dc = (w2.T @ delta_c.reshape(num_cameras * 6)).reshape(l_local, 3)
-        delta_l = jnp.einsum("lij,lj->li", h_ll_inv, b_l - wt_dc)
+        delta_l = backsub_landmarks(pieces, delta_c)
 
         rots_new = so3_exp(delta_c[:, :3]) @ rots
         ts_new = ts + delta_c[:, 3:]
         points_new = points_local + delta_l
 
         # New cost (local residuals → psum).
-        res_new, _, _ = residual_terms(
+        res_new = local_residuals(
             rots_new, ts_new, kmat, points_new, cam, lm_local, uv, own
         )
         cost_new = jax.lax.psum(0.5 * jnp.sum(res_new * res_new), axis)
@@ -275,7 +220,7 @@ def distributed_bundle_adjust(
         offset = shard * l_local
         lm_local = lm - offset
         own = valid & (lm_local >= 0) & (lm_local < l_local)
-        res0, _, _ = residual_terms(rots, ts, kmat, points, cam, lm_local, uv, own)
+        res0 = local_residuals(rots, ts, kmat, points, cam, lm_local, uv, own)
         cost = jax.lax.psum(0.5 * jnp.sum(res0 * res0), axis)
         lam = jnp.asarray(1e-4, dtype)
         for _ in range(num_iterations):
@@ -305,7 +250,10 @@ def distributed_bundle_adjust(
     out_state = BAState(
         rotations=rots,
         translations=ts,
-        points=points[:orig_l],
+        # Eager slicing of a multi-process global array is illegal; skip
+        # the crop when no padding was added (multi-host callers pad
+        # landmarks to a mesh multiple themselves).
+        points=points if orig_l == l_padded else points[:orig_l],
         k_mat=state.k_mat,
     )
     return out_state, cost

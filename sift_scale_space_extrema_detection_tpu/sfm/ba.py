@@ -7,24 +7,35 @@ maps to TPU. This design is dense-blocked and fixed-capacity throughout:
 - Observations live in a struct-of-arrays buffer ``(O,)`` with
   ``(camera index, landmark index, pixel, valid)`` — masked, static
   shape, vmap-friendly.
-- Per-observation 2×6 / 2×3 Jacobians come from ``jax.jacfwd`` of the
-  reprojection residual, vmapped over the buffer (no hand-derived
-  Jacobians to get wrong).
+- Per-observation 2×6 / 2×3 Jacobians are closed-form (the pinhole
+  projection chain rule — see :func:`_obs_terms`), verified in tests
+  against ``jax.jacfwd`` of the residual. The forward-mode version
+  (9 tangents through ``so3_exp`` per observation) measured ~3× the
+  assembly cost of the closed form.
 - The normal equations are assembled with ``segment_sum`` into dense
-  per-camera ``(C, 6, 6)``, per-landmark ``(L, 3, 3)`` blocks and a
-  dense camera-landmark coupling ``W (C, L, 6, 3)`` — at SLAM scales
-  (C ≲ 10², L ≲ 10⁴) W fits HBM easily and turns the Schur reduction
-  ``S = H_cc − W·H_ll⁻¹·Wᵀ`` into two einsums on the MXU.
-- The reduced camera system (6C × 6C) is solved densely (Cholesky via
-  ``jnp.linalg.solve``); landmarks back-substitute with batched 3×3
-  inverses.
-- Levenberg-Marquardt: branchless accept/reject with adaptive λ (the
-  same scheme as ops/ransac.refine_relative_pose, which plain GN
-  measurably needed).
+  per-camera ``(C, 6, 6)`` and per-landmark ``(L, 3, 3)`` blocks.
+- Two Schur solvers:
 
-The landmark axis is the natural shard axis for multi-host BA: each
-device owns a landmark slice of (H_ll, W, b_l) and the Schur reduction
-is a ``psum`` over the mesh (see parallel/distributed.py).
+  * ``solver="dense"`` — materializes the camera-landmark coupling
+    ``W (C, L, 6, 3)`` and flattens the reduction
+    ``S = H_cc − W·H_ll⁻¹·Wᵀ`` into one (6C × 3L)·(3L × 6C) MXU matmul;
+    the reduced 6C × 6C system is solved directly. Right at SLAM
+    window scales (C ≲ 10², L ≲ 10⁴).
+  * ``solver="cg"`` — never materializes ``W``: preconditioned CG on
+    the reduced camera system with the Schur product applied
+    **matrix-free** through per-observation gathers
+    (``S·x = H_cc·x − W H_ll⁻¹ Wᵀ x`` where ``Wᵀx`` is two tiny
+    einsums + a ``segment_sum`` over observations). O(O) memory —
+    this is the path that scales to KITTI-length maps
+    (10³ cameras × 10⁵ landmarks; the dense ``W`` would be 7+ GB).
+
+- Levenberg-Marquardt: branchless accept/reject with adaptive λ.
+
+**Sharding (parallel/distributed.py).** Every per-shard quantity below
+is computed by :func:`shard_schur_pieces` parameterized by the landmark
+slice a device owns; the single-device path is the 1-shard case of the
+same function, and the distributed path ``psum``s the returned
+camera-side pieces over the mesh — one implementation, two callers.
 
 Gauge: the first ``num_fixed_cameras`` poses are frozen (their δ is
 zeroed) — the standard gauge fix for monocular BA.
@@ -33,6 +44,7 @@ zeroed) — the standard gauge fix for monocular BA.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +102,8 @@ def reprojection_residuals(
 
 def _per_obs_residual(rot, t, point, uv, k_mat, dc, dl):
     """Residual of ONE observation under pose increment dc=(ω,v) and
-    landmark increment dl — the function we differentiate."""
+    landmark increment dl — kept as the autodiff oracle the closed-form
+    Jacobians are tested against (tests/test_ba.py)."""
     r_new = so3_exp(dc[:3]) @ rot
     t_new = t + dc[3:]
     x = point + dl
@@ -101,37 +114,113 @@ def _per_obs_residual(rot, t, point, uv, k_mat, dc, dl):
     return jnp.stack([u - uv[0], v - uv[1]])
 
 
-def _jacobians(state: BAState, obs: Observations):
-    """Per-observation residuals and (2,6)/(2,3) Jacobians, masked."""
-    zeros6 = jnp.zeros((6,), state.points.dtype)
-    zeros3 = jnp.zeros((3,), state.points.dtype)
+def _obs_terms(rots, ts, kmat, x, cam, uv, mask):
+    """Closed-form residuals + Jacobians for all observations, masked.
 
-    def one(c, l, uv, ok):
-        rot = state.rotations[c]
-        t = state.translations[c]
-        x = state.points[l]
-        res = _per_obs_residual(rot, t, x, uv, state.k_mat, zeros6, zeros3)
-        jc = jax.jacfwd(_per_obs_residual, argnums=5)(
-            rot, t, x, uv, state.k_mat, zeros6, zeros3
-        )
-        jl = jax.jacfwd(_per_obs_residual, argnums=6)(
-            rot, t, x, uv, state.k_mat, zeros6, zeros3
-        )
-        m = ok.astype(res.dtype)
-        return res * m, jc * m, jl * m
+    ``x`` is the (O, 3) gathered landmark positions. For the
+    left-multiplicative pose increment ``R ← exp(ω)·R, t ← t + v`` and
+    landmark increment ``X ← X + δ``:
 
-    return jax.vmap(one)(obs.camera, obs.landmark, obs.uv, obs.valid)
+        xc = exp(ω)·R·(X+δ) + t + v
+        ∂xc/∂ω = −[R·X]×   ∂xc/∂v = I   ∂xc/∂δ = R
+        ∂(u,v)/∂xc = [[fx/z, 0, −fx·x/z²], [0, fy/z, −fy·y/z²]]
+
+    Returns ``(res (O,2), jc (O,2,6), jl (O,2,3))``.
+    """
+    dtype = x.dtype
+    r = rots[cam]  # (O, 3, 3)
+    t = ts[cam]  # (O, 3)
+    y = jnp.einsum("oij,oj->oi", r, x)  # R·X
+    xc = y + t
+    z = jnp.where(jnp.abs(xc[:, 2]) < 1e-6, 1e-6, xc[:, 2])
+    fx = kmat[0, 0]
+    fy = kmat[1, 1]
+    u = fx * xc[:, 0] / z + kmat[0, 2]
+    v = fy * xc[:, 1] / z + kmat[1, 2]
+    res = jnp.stack([u, v], axis=-1) - uv
+
+    zero = jnp.zeros_like(z)
+    inv_z = 1.0 / z
+    # dp/dxc (O, 2, 3)
+    dp = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * xc[:, 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * xc[:, 1] * inv_z * inv_z], -1),
+        ],
+        axis=-2,
+    )
+    # −[y]× (O, 3, 3)
+    y0, y1, y2 = y[:, 0], y[:, 1], y[:, 2]
+    zo = jnp.zeros_like(y0)
+    neg_hat = jnp.stack(
+        [
+            jnp.stack([zo, y2, -y1], -1),
+            jnp.stack([-y2, zo, y0], -1),
+            jnp.stack([y1, -y0, zo], -1),
+        ],
+        axis=-2,
+    )
+    jc = jnp.concatenate(
+        [jnp.einsum("okj,oji->oki", dp, neg_hat), dp], axis=-1
+    )  # (O, 2, 6)
+    jl = jnp.einsum("okj,oji->oki", dp, r)  # (O, 2, 3)
+
+    m = mask.astype(dtype)[:, None]
+    return res * m, jc * m[..., None], jl * m[..., None]
 
 
-def _schur_normal_equations(
-    state: BAState,
-    obs: Observations,
+def _damp(h, eye, lam):
+    """LM damping: multiplicative on diagonals + small absolute floor."""
+    diag = jnp.diagonal(h, axis1=-2, axis2=-1)
+    d = lam * jnp.maximum(diag, 1e-8) + 1e-8
+    return h + d[..., :, None] * eye
+
+
+class SchurPieces(NamedTuple):
+    """Per-shard normal-equation/Schur contributions.
+
+    ``h_cc, b_c, s_off, rhs_off`` are partial sums over the shard's
+    observations — a caller spanning multiple shards must ``psum`` them
+    before :func:`solve_reduced`. ``w2 (6C, 3L_local)``, ``h_ll_inv
+    (L_local, 3, 3)`` and ``b_l (L_local, 3)`` stay local and feed
+    :func:`backsub_landmarks`.
+    """
+
+    h_cc: jax.Array  # (C, 6, 6)
+    b_c: jax.Array  # (C, 6)
+    s_off: jax.Array  # (C, 6, C, 6)   W·H_ll⁻¹·Wᵀ contribution
+    rhs_off: jax.Array  # (C, 6)       W·H_ll⁻¹·b_l contribution
+    w2: jax.Array  # (6C, 3L_local)
+    h_ll_inv: jax.Array  # (L_local, 3, 3)
+    b_l: jax.Array  # (L_local, 3)
+
+
+def shard_schur_pieces(
+    rots,
+    ts,
+    kmat,
+    points_local,
+    cam,
+    lm_local,
+    uv,
+    own,
+    lam,
     num_cameras: int,
-    num_points: int,
-    obs_weight: jax.Array | None = None,
-):
-    """Assemble (H_cc, H_ll, W, b_c, b_l) dense blocks via segment_sum."""
-    res, jc, jl = _jacobians(state, obs)  # (O,2) (O,2,6) (O,2,3)
+    obs_weight=None,
+) -> SchurPieces:
+    """Schur contribution of ONE landmark shard (the shared BA core).
+
+    ``points_local (L_local, 3)`` is the shard's landmark slice;
+    ``lm_local (O,)`` indexes into it (any value for un-owned rows);
+    ``own (O,)`` marks observations whose landmark lives on this shard.
+    The single-device solver is the 1-shard call (``own = valid``,
+    ``lm_local = landmark``); parallel/distributed.py calls it per mesh
+    shard and ``psum``s the camera-side outputs.
+    """
+    dtype = points_local.dtype
+    l_local = points_local.shape[0]
+    x = points_local[jnp.clip(lm_local, 0, l_local - 1)]
+    res, jc, jl = _obs_terms(rots, ts, kmat, x, cam, uv, own)
     if obs_weight is not None:
         sw = jnp.sqrt(obs_weight)[:, None]
         res = res * sw
@@ -139,70 +228,66 @@ def _schur_normal_equations(
         jl = jl * sw[..., None]
 
     h_cc = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", jc, jc), obs.camera, num_cameras
+        jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
     )  # (C, 6, 6)
-    h_ll = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", jl, jl), obs.landmark, num_points
-    )  # (L, 3, 3)
     b_c = jax.ops.segment_sum(
-        -jnp.einsum("oki,ok->oi", jc, res), obs.camera, num_cameras
+        -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
     )  # (C, 6)
+
+    seg = jnp.where(own, lm_local, l_local)  # overflow bucket for un-owned
+    h_ll = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jl, jl), seg, l_local + 1
+    )[:l_local]
     b_l = jax.ops.segment_sum(
-        -jnp.einsum("oki,ok->oi", jl, res), obs.landmark, num_points
-    )  # (L, 3)
+        -jnp.einsum("oki,ok->oi", jl, res), seg, l_local + 1
+    )[:l_local]
 
     # Dense coupling W: one scatter-add of per-observation (6,3) blocks
-    # into the flattened (C*L) pair axis.
-    w_blocks = jnp.einsum("oki,okj->oij", jc, jl)  # (O, 6, 3)
-    pair = obs.camera * num_points + obs.landmark
-    w = jax.ops.segment_sum(w_blocks, pair, num_cameras * num_points)
-    w = w.reshape(num_cameras, num_points, 6, 3)
-    return h_cc, h_ll, w, b_c, b_l, res
+    # into the flattened (C·L_local) pair axis.
+    pair = cam * (l_local + 1) + seg
+    w = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jc, jl),
+        pair,
+        num_cameras * (l_local + 1),
+    ).reshape(num_cameras, l_local + 1, 6, 3)[:, :l_local]
 
+    h_ll_inv = jnp.linalg.inv(_damp(h_ll, jnp.eye(3, dtype=dtype), lam))
 
-def _solve_schur(
-    h_cc, h_ll, w, b_c, b_l, lam, num_fixed_cameras: int
-):
-    """One damped Schur solve → (δ_cameras (C,6), δ_points (L,3))."""
-    c = h_cc.shape[0]
-    l = h_ll.shape[0]
-    dtype = h_cc.dtype
-    eye3 = jnp.eye(3, dtype=dtype)
-    eye6 = jnp.eye(6, dtype=dtype)
-
-    # LM damping (multiplicative on diagonals + small absolute floor).
-    def damp(h, eye):
-        diag = jnp.diagonal(h, axis1=-2, axis2=-1)
-        d = lam * jnp.maximum(diag, 1e-8) + 1e-8
-        return h + d[..., :, None] * eye
-
-    h_cc_d = damp(h_cc, eye6)
-    h_ll_d = damp(h_ll, eye3)
-
-    h_ll_inv = jnp.linalg.inv(h_ll_d)  # (L, 3, 3) batched
-
-    # S = H_cc − W·H_ll⁻¹·Wᵀ ; rhs = b_c − W·H_ll⁻¹·b_l. The reduction is
-    # flattened to ONE (6C × 3L)·(3L × 6C) matmul: the direct block
-    # einsum over (6,3) tiles measured ~0.1 TFLOP/s on the MXU, the
-    # flattened form is a properly tiled large matmul.
+    # Schur reduction flattened to ONE (6C × 3L)·(3L × 6C) matmul: the
+    # direct block einsum over (6,3) tiles measured ~0.1 TFLOP/s on the
+    # MXU; the flattened form is a properly tiled large matmul.
     w_hinv = jnp.einsum("clij,ljk->clik", w, h_ll_inv)  # (C, L, 6, 3)
-    w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(c * 6, l * 3)
-    wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(c * 6, l * 3)
+    c = num_cameras
+    w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(c * 6, l_local * 3)
+    wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(c * 6, l_local * 3)
     s_off = jnp.dot(
         wh2,
         w2.T,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=dtype,
     ).reshape(c, 6, c, 6)
-    s_mat = -s_off
-    s_mat = s_mat.at[jnp.arange(c), :, jnp.arange(c), :].add(h_cc_d)
-    rhs = b_c - (wh2 @ b_l.reshape(l * 3)).reshape(c, 6)
+    rhs_off = (wh2 @ b_l.reshape(l_local * 3)).reshape(c, 6)
+    return SchurPieces(h_cc, b_c, s_off, rhs_off, w2, h_ll_inv, b_l)
 
-    # Gauge fix: zero out rows/cols of frozen cameras, identity diagonal.
-    free = (jnp.arange(c) >= num_fixed_cameras).astype(dtype)
+
+def solve_reduced(
+    h_cc, b_c, s_off, rhs_off, lam, num_fixed_cameras: int
+) -> jax.Array:
+    """Solve the reduced (gauge-fixed, damped) camera system → δc (C, 6)."""
+    c = h_cc.shape[0]
+    dtype = h_cc.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    cam_ids = jnp.arange(c)
+    h_cc_d = _damp(h_cc, eye6, lam)
+
+    s_mat = -s_off
+    s_mat = s_mat.at[cam_ids, :, cam_ids, :].add(h_cc_d)
+    rhs = b_c - rhs_off
+
+    free = (cam_ids >= num_fixed_cameras).astype(dtype)
     mask = free[:, None, None, None] * free[None, None, :, None]
     s_mat = s_mat * mask
-    s_mat = s_mat.at[jnp.arange(c), :, jnp.arange(c), :].add(
+    s_mat = s_mat.at[cam_ids, :, cam_ids, :].add(
         (1.0 - free)[:, None, None] * eye6
     )
     rhs = rhs * free[:, None]
@@ -210,12 +295,15 @@ def _solve_schur(
     delta_c = jnp.linalg.solve(
         s_mat.reshape(c * 6, c * 6), rhs.reshape(c * 6)
     ).reshape(c, 6)
-    delta_c = delta_c * free[:, None]
+    return delta_c * free[:, None]
 
-    # Back-substitute landmarks: δl = H_ll⁻¹ (b_l − Wᵀ δc).
-    wt_dc = (w2.T @ delta_c.reshape(c * 6)).reshape(l, 3)
-    delta_l = jnp.einsum("lij,lj->li", h_ll_inv, b_l - wt_dc)
-    return delta_c, delta_l
+
+def backsub_landmarks(pieces: SchurPieces, delta_c) -> jax.Array:
+    """Back-substitute the shard's landmarks: δl = H_ll⁻¹ (b_l − Wᵀ δc)."""
+    c6 = delta_c.shape[0] * 6
+    l_local = pieces.b_l.shape[0]
+    wt_dc = (pieces.w2.T @ delta_c.reshape(c6)).reshape(l_local, 3)
+    return jnp.einsum("lij,lj->li", pieces.h_ll_inv, pieces.b_l - wt_dc)
 
 
 def apply_step(state: BAState, delta_c, delta_l) -> BAState:
@@ -227,8 +315,126 @@ def apply_step(state: BAState, delta_c, delta_l) -> BAState:
     )
 
 
+# --- matrix-free (CG) Schur path --------------------------------------
+
+
+def _cg_delta(
+    state: BAState,
+    obs: Observations,
+    lam,
+    num_fixed_cameras: int,
+    cg_iterations: int,
+    obs_weight=None,
+):
+    """One damped LM step via matrix-free PCG on the reduced system.
+
+    Never materializes ``W``: every ``S·x`` product routes through the
+    observation buffer (two small einsums + segment_sums), so memory is
+    O(O + C·36 + L·9) and the arithmetic rides the VPU. Block-Jacobi
+    preconditioner from the damped ``H_cc`` diagonal blocks.
+    """
+    num_cameras = state.rotations.shape[0]
+    num_points = state.points.shape[0]
+    dtype = state.points.dtype
+    cam = obs.camera
+    lm = obs.landmark
+    x = state.points[lm]
+    res, jc, jl = _obs_terms(
+        state.rotations, state.translations, state.k_mat, x, cam, obs.uv,
+        obs.valid,
+    )
+    if obs_weight is not None:
+        sw = jnp.sqrt(obs_weight)[:, None]
+        res = res * sw
+        jc = jc * sw[..., None]
+        jl = jl * sw[..., None]
+
+    h_cc = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
+    )
+    b_c = jax.ops.segment_sum(
+        -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
+    )
+    h_ll = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jl, jl), lm, num_points
+    )
+    b_l = jax.ops.segment_sum(
+        -jnp.einsum("oki,ok->oi", jl, res), lm, num_points
+    )
+
+    eye6 = jnp.eye(6, dtype=dtype)
+    h_cc_d = _damp(h_cc, eye6, lam)
+    h_ll_inv = jnp.linalg.inv(_damp(h_ll, jnp.eye(3, dtype=dtype), lam))
+
+    cam_ids = jnp.arange(num_cameras)
+    free = (cam_ids >= num_fixed_cameras).astype(dtype)
+
+    def wt_x(xc):  # Wᵀ·x : (C,6) → (L,3)
+        tmp = jnp.einsum("oki,oi->ok", jc, xc[cam])  # (O, 2)
+        q = jnp.einsum("oki,ok->oi", jl, tmp)  # (O, 3)
+        return jax.ops.segment_sum(q, lm, num_points)
+
+    def w_y(y):  # W·y : (L,3) → (C,6)
+        tmp = jnp.einsum("oki,oi->ok", jl, y[lm])  # (O, 2)
+        s = jnp.einsum("oki,ok->oi", jc, tmp)  # (O, 6)
+        return jax.ops.segment_sum(s, cam, num_cameras)
+
+    def hinv_l(y):  # H_ll⁻¹·y
+        return jnp.einsum("lij,lj->li", h_ll_inv, y)
+
+    def schur_mv(xc):  # gauge-projected S·x, identity on frozen cameras
+        xm = xc * free[:, None]
+        sx = jnp.einsum("cij,cj->ci", h_cc_d, xm) - w_y(hinv_l(wt_x(xm)))
+        return sx * free[:, None] + xc * (1.0 - free)[:, None]
+
+    rhs = (b_c - w_y(hinv_l(b_l))) * free[:, None]
+
+    # Block-Jacobi preconditioner (frozen cameras already identity-safe:
+    # their damped diagonal block is well-conditioned and their residual
+    # is zero throughout).
+    m_inv = jnp.linalg.inv(h_cc_d)
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", m_inv, r)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    eps = jnp.asarray(1e-30, dtype)
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+
+    def body(_, carry):
+        xk, rk, pk, rzk = carry
+        sp = schur_mv(pk)
+        alpha = rzk / (dot(pk, sp) + eps)
+        xk = xk + alpha * pk
+        rk = rk - alpha * sp
+        zk = precond(rk)
+        rzk1 = dot(rk, zk)
+        beta = rzk1 / (rzk + eps)
+        pk = zk + beta * pk
+        return xk, rk, pk, rzk1
+
+    delta_c, _, _, _ = jax.lax.fori_loop(
+        0, cg_iterations, body, (x0, r0, p0, rz0)
+    )
+    delta_c = delta_c * free[:, None]
+    delta_l = hinv_l(b_l - wt_x(delta_c))
+    return delta_c, delta_l
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_iterations", "num_fixed_cameras")
+    jax.jit,
+    static_argnames=(
+        "num_iterations",
+        "num_fixed_cameras",
+        "solver",
+        "cg_iterations",
+    ),
 )
 def bundle_adjust(
     state: BAState,
@@ -236,14 +442,17 @@ def bundle_adjust(
     num_iterations: int = 10,
     num_fixed_cameras: int = 1,
     huber_delta: float | None = None,
+    solver: str = "dense",
+    cg_iterations: int = 32,
 ) -> tuple[BAState, jax.Array]:
     """Levenberg-Marquardt BA. Returns (refined state, final cost).
 
     ``huber_delta`` (pixels) enables IRLS robust weighting of
-    observations; ``None`` is plain least squares.
+    observations; ``None`` is plain least squares. ``solver="dense"``
+    materializes the coupling block (fast at SLAM-window scale);
+    ``solver="cg"`` is the matrix-free path for large maps.
     """
     num_cameras = state.rotations.shape[0]
-    num_points = state.points.shape[0]
     dtype = state.points.dtype
 
     def cost_of(s):
@@ -268,12 +477,34 @@ def bundle_adjust(
     lam = jnp.asarray(1e-4, dtype)
     cost = cost_of(state)
     for _ in range(num_iterations):
-        h_cc, h_ll, w, b_c, b_l, _ = _schur_normal_equations(
-            state, obs, num_cameras, num_points, weights_of(state)
-        )
-        delta_c, delta_l = _solve_schur(
-            h_cc, h_ll, w, b_c, b_l, lam, num_fixed_cameras
-        )
+        if solver == "cg":
+            delta_c, delta_l = _cg_delta(
+                state, obs, lam, num_fixed_cameras, cg_iterations,
+                weights_of(state),
+            )
+        else:
+            pieces = shard_schur_pieces(
+                state.rotations,
+                state.translations,
+                state.k_mat,
+                state.points,
+                obs.camera,
+                obs.landmark,
+                obs.uv,
+                obs.valid,
+                lam,
+                num_cameras,
+                weights_of(state),
+            )
+            delta_c = solve_reduced(
+                pieces.h_cc,
+                pieces.b_c,
+                pieces.s_off,
+                pieces.rhs_off,
+                lam,
+                num_fixed_cameras,
+            )
+            delta_l = backsub_landmarks(pieces, delta_c)
         cand = apply_step(state, delta_c, delta_l)
         cand_cost = cost_of(cand)
         accept = cand_cost < cost

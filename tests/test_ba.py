@@ -164,3 +164,74 @@ def test_ba_fixed_cameras_stay_fixed():
     np.testing.assert_array_equal(
         np.asarray(refined.translations[:2]), np.asarray(init.translations[:2])
     )
+
+
+def test_closed_form_jacobians_match_autodiff():
+    """_obs_terms' hand-derived Jacobians == jacfwd of the residual."""
+    from sift_scale_space_extrema_detection_tpu.sfm.ba import (
+        _obs_terms,
+        _per_obs_residual,
+    )
+
+    rng = np.random.default_rng(5)
+    truth, obs = make_scene(rng, n_cams=3, n_pts=20, noise_px=0.4)
+    x = truth.points[obs.landmark]
+    res, jc, jl = _obs_terms(
+        truth.rotations, truth.translations, truth.k_mat, x,
+        obs.camera, obs.uv, obs.valid,
+    )
+    z6 = jnp.zeros(6, jnp.float64)
+    z3 = jnp.zeros(3, jnp.float64)
+    for o in range(0, obs.capacity, 7):
+        c = int(obs.camera[o])
+        l = int(obs.landmark[o])
+        args = (truth.rotations[c], truth.translations[c], truth.points[l],
+                obs.uv[o], truth.k_mat, z6, z3)
+        res_ref = _per_obs_residual(*args)
+        jc_ref = jax.jacfwd(_per_obs_residual, argnums=5)(*args)
+        jl_ref = jax.jacfwd(_per_obs_residual, argnums=6)(*args)
+        np.testing.assert_allclose(res[o], res_ref, atol=1e-9)
+        np.testing.assert_allclose(jc[o], jc_ref, atol=1e-8, rtol=1e-8)
+        np.testing.assert_allclose(jl[o], jl_ref, atol=1e-8, rtol=1e-8)
+
+
+def test_ba_cg_solver_matches_dense():
+    """Matrix-free CG path converges to the same solution as dense Schur."""
+    rng = np.random.default_rng(6)
+    truth, obs = make_scene(rng, noise_px=0.2)
+    init = perturb(rng, truth)
+    dense, cost_d = bundle_adjust(init, obs, num_iterations=12)
+    cg, cost_c = bundle_adjust(
+        init, obs, num_iterations=12, solver="cg", cg_iterations=40
+    )
+    assert rms_residual(cg, obs) < 1.0
+    np.testing.assert_allclose(
+        np.asarray(cg.translations), np.asarray(dense.translations), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(cg.points), np.asarray(dense.points), atol=5e-3
+    )
+
+
+def test_ba_cg_huber():
+    """CG path supports IRLS Huber weighting like the dense path."""
+    rng = np.random.default_rng(7)
+    truth, obs = make_scene(rng, noise_px=0.3)
+    n = obs.capacity
+    bad = rng.choice(n, n // 10, replace=False)
+    uv = np.array(obs.uv)
+    uv[bad] += rng.uniform(20, 80, size=(len(bad), 2))
+    obs2 = obs.replace(uv=jnp.asarray(uv))
+    init = perturb(rng, truth)
+    robust, _ = bundle_adjust(
+        init, obs2, num_iterations=15, huber_delta=2.0, solver="cg",
+        cg_iterations=40,
+    )
+    dense, _ = bundle_adjust(
+        init, obs2, num_iterations=15, huber_delta=2.0
+    )
+    cg_err = float(jnp.abs(robust.translations - truth.translations).max())
+    dense_err = float(jnp.abs(dense.translations - truth.translations).max())
+    # The two solvers downweight the (one-sided) outliers equally well.
+    assert abs(cg_err - dense_err) < 0.02
+    assert cg_err < 0.1
