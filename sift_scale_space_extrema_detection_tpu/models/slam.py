@@ -86,17 +86,53 @@ def run_slam(
     visible: np.ndarray,
     k_mat: np.ndarray,
     cfg: SlamConfig | None = None,
+    mesh=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
+    _stop_after: int | None = None,
 ) -> SlamResult:
     """Run incremental SLAM over per-frame measurements.
 
     ``pixels``: (F, L, 2) pixel measurement of landmark l in frame f;
     ``visible``: (F, L) bool association mask. Landmark ids are global
     (as descriptor-track ids would be after matching).
+
+    ``mesh``: a ``jax.sharding.Mesh`` routes every bundle adjustment
+    through the landmark-sharded distributed solver
+    (parallel/distributed.py — BASELINE.json config[4]); ``None`` runs
+    single-device BA. ``checkpoint_dir`` enables periodic persistence of
+    the full SLAM state (poses, map, observations) every
+    ``checkpoint_interval`` frames; ``resume=True`` restores the latest
+    checkpoint and continues mid-sequence (SURVEY.md §5.4).
+    ``_stop_after`` aborts after processing that frame index (fault
+    injection for the resume tests); the final BA is skipped for a
+    stopped run.
     """
     cfg = cfg or SlamConfig()
     num_frames, num_landmarks = visible.shape
     k_jnp = jnp.asarray(k_mat)
     fx = k_mat[0, 0]
+
+    def _ba(state, obs, num_iterations, num_fixed_cameras):
+        if mesh is not None:
+            from ..parallel.distributed import distributed_bundle_adjust
+
+            return distributed_bundle_adjust(
+                state,
+                obs,
+                mesh,
+                num_iterations=num_iterations,
+                num_fixed_cameras=num_fixed_cameras,
+                huber_delta=cfg.huber_px,
+            )
+        return bundle_adjust(
+            state,
+            obs,
+            num_iterations=num_iterations,
+            num_fixed_cameras=num_fixed_cameras,
+            huber_delta=cfg.huber_px,
+        )
 
     est_r = np.zeros((num_frames, 3, 3))
     est_t = np.zeros((num_frames, 3))
@@ -108,57 +144,100 @@ def run_slam(
     obs_lm: list[int] = []
     obs_uv: list[np.ndarray] = []
 
+    def _save_ckpt(frame: int) -> None:
+        if checkpoint_dir is None:
+            return
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_dir,
+            {
+                "frame": np.asarray(frame),
+                "est_r": est_r,
+                "est_t": est_t,
+                "points": points,
+                "lm_valid": lm_valid,
+                "first_seen_kf": first_seen_kf,
+                "obs_cam": np.asarray(obs_cam, np.int64),
+                "obs_lm": np.asarray(obs_lm, np.int64),
+                "obs_uv": (
+                    np.stack(obs_uv) if obs_uv else np.zeros((0, 2))
+                ),
+            },
+            step=None,  # single rolling checkpoint
+        )
+
+    resume_frame = -1
+    if resume and checkpoint_dir is not None:
+        import os
+
+        from ..utils.checkpoint import restore_checkpoint_flat
+
+        state_path = os.path.join(checkpoint_dir, "state")
+        if os.path.exists(state_path) or os.path.exists(state_path + ".npz"):
+            ck = restore_checkpoint_flat(state_path)
+            resume_frame = int(ck["frame"])
+            est_r[:] = ck["est_r"]
+            est_t[:] = ck["est_t"]
+            points[:] = ck["points"]
+            lm_valid[:] = ck["lm_valid"].astype(bool)
+            first_seen_kf[:] = ck["first_seen_kf"]
+            obs_cam = [int(v) for v in ck["obs_cam"]]
+            obs_lm = [int(v) for v in ck["obs_lm"]]
+            obs_uv = [row for row in ck["obs_uv"]]
+
     def backproject(f_idx, ids):
         uv = pixels[f_idx, ids]
         return np.asarray(
             geo.backproject(jnp.asarray(uv), k_jnp)
         )
 
-    # ---- bootstrap from frames 0, 1 -----------------------------------
-    common = visible[0] & visible[1]
-    ids = np.where(common)[0]
-    rays1 = backproject(0, ids)
-    rays2 = backproject(1, ids)
-    res = estimate_essential_ransac(
-        jnp.asarray(rays1),
-        jnp.asarray(rays2),
-        jnp.ones(len(ids), bool),
-        jax.random.PRNGKey(0),
-        num_hypotheses=cfg.ransac_hypotheses,
-        inlier_threshold=cfg.ransac_threshold_px / fx,
-    )
-    est_r[0] = np.eye(3)
-    est_t[0] = 0.0
-    est_r[1] = np.asarray(res.rotation)
-    est_t[1] = np.asarray(res.translation)  # unit baseline = gauge
+    # ---- bootstrap from frames 0, 1 (skipped on resume) ---------------
+    if resume_frame < 1:
+        common = visible[0] & visible[1]
+        ids = np.where(common)[0]
+        rays1 = backproject(0, ids)
+        rays2 = backproject(1, ids)
+        res = estimate_essential_ransac(
+            jnp.asarray(rays1),
+            jnp.asarray(rays2),
+            jnp.ones(len(ids), bool),
+            jax.random.PRNGKey(0),
+            num_hypotheses=cfg.ransac_hypotheses,
+            inlier_threshold=cfg.ransac_threshold_px / fx,
+        )
+        est_r[0] = np.eye(3)
+        est_t[0] = 0.0
+        est_r[1] = np.asarray(res.rotation)
+        est_t[1] = np.asarray(res.translation)  # unit baseline = gauge
 
-    inl = np.asarray(res.inliers)
-    tri, depths = geo.triangulate_midpoint(
-        jnp.asarray(est_r[0]),
-        jnp.asarray(est_t[0]),
-        jnp.asarray(est_r[1]),
-        jnp.asarray(est_t[1]),
-        jnp.asarray(rays1),
-        jnp.asarray(rays2),
-    )
-    good = inl & np.all(np.asarray(depths) > 0.1, axis=-1)
-    new_ids = ids[good]
-    points[new_ids] = np.asarray(tri)[good]
-    lm_valid[new_ids] = True
-    for f in (0, 1):
-        for i in new_ids:
-            obs_cam.append(f)
-            obs_lm.append(int(i))
-            obs_uv.append(pixels[f, i])
-    # Every landmark seen at bootstrap records its earliest frame so its
-    # first observation enters triangulation/BA later (not only the
-    # frame-0 AND frame-1 common set).
-    first_seen_kf[visible[0]] = 0
-    only1 = visible[1] & ~visible[0]
-    first_seen_kf[only1] = 1
+        inl = np.asarray(res.inliers)
+        tri, depths = geo.triangulate_midpoint(
+            jnp.asarray(est_r[0]),
+            jnp.asarray(est_t[0]),
+            jnp.asarray(est_r[1]),
+            jnp.asarray(est_t[1]),
+            jnp.asarray(rays1),
+            jnp.asarray(rays2),
+        )
+        good = inl & np.all(np.asarray(depths) > 0.1, axis=-1)
+        new_ids = ids[good]
+        points[new_ids] = np.asarray(tri)[good]
+        lm_valid[new_ids] = True
+        for f in (0, 1):
+            for i in new_ids:
+                obs_cam.append(f)
+                obs_lm.append(int(i))
+                obs_uv.append(pixels[f, i])
+        # Every landmark seen at bootstrap records its earliest frame so its
+        # first observation enters triangulation/BA later (not only the
+        # frame-0 AND frame-1 common set).
+        first_seen_kf[visible[0]] = 0
+        only1 = visible[1] & ~visible[0]
+        first_seen_kf[only1] = 1
 
     # ---- incremental tracking -----------------------------------------
-    for f in range(2, num_frames):
+    for f in range(max(2, resume_frame + 1), num_frames):
         ids_map = np.where(visible[f] & lm_valid)[0]
         if len(ids_map) < 6:
             # Lost: hold the previous pose (constant-pose fallback).
@@ -251,17 +330,26 @@ def run_slam(
                 np.asarray(obs_uv),
                 np.ones(len(obs_cam), bool),
             )
-            refined, _ = bundle_adjust(
-                state,
-                obs,
-                num_iterations=cfg.ba_iterations,
-                num_fixed_cameras=fixed,
-                huber_delta=cfg.huber_px,
-            )
+            refined, _ = _ba(state, obs, cfg.ba_iterations, fixed)
             est_r[: f + 1] = np.asarray(refined.rotations)
             est_t[: f + 1] = np.asarray(refined.translations)
             upd = np.asarray(refined.points)
             points[lm_valid] = upd[lm_valid]
+
+        if checkpoint_dir is not None and (
+            f % checkpoint_interval == 0 or f == num_frames - 1
+        ):
+            _save_ckpt(f)
+        if _stop_after is not None and f >= _stop_after:
+            # Fault injection: persist and abort mid-sequence.
+            _save_ckpt(f)
+            return SlamResult(
+                rotations=est_r,
+                translations=est_t,
+                points=points,
+                landmark_valid=lm_valid,
+                num_observations=len(obs_cam),
+            )
 
     # ---- optional pose-graph optimization -----------------------------
     if cfg.use_pose_graph and num_frames >= 3:
@@ -322,13 +410,7 @@ def run_slam(
                 np.asarray(obs_uv),
                 obs_valid,
             )
-            refined, _ = bundle_adjust(
-                state,
-                obs,
-                num_iterations=cfg.final_ba_iterations,
-                num_fixed_cameras=1,
-                huber_delta=cfg.huber_px,
-            )
+            refined, _ = _ba(state, obs, cfg.final_ba_iterations, 1)
             est_r = np.asarray(refined.rotations)
             est_t = np.asarray(refined.translations)
             upd = np.asarray(refined.points)
@@ -357,6 +439,8 @@ def build_tracks_from_images(
     max_tracks: int = 4096,
     blur: str = "separable",
     ransac_threshold_px: float = 2.0,
+    mesh=None,
+    reassoc_window: int = 0,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -369,13 +453,28 @@ def build_tracks_from_images(
     poison the map), and chains the surviving matches into tracks.
     Returns ``(pixels (F, L, 2), visible (F, L))`` ready for
     :func:`run_slam`, plus per-frame keypoint counts for diagnostics.
+
+    ``reassoc_window`` > 0 additionally matches each frame against that
+    many older keyframes to re-acquire tracks lost in the immediate
+    predecessor (occlusion gaps). With a ``mesh`` the frontend runs
+    data-parallel over the batch axis and the window matching runs
+    keyframe-sharded over the mesh (parallel/distributed.py —
+    BASELINE.json config[4]); results are identical to the
+    single-device path.
     """
     from .frontend import detect_and_describe_batched_jit
     from ..sfm.geometry import backproject as geo_backproject
 
-    described = detect_and_describe_batched_jit(
-        jnp.asarray(images, jnp.float32), sift_cfg, blur
-    )
+    if mesh is not None:
+        from ..parallel.distributed import detect_and_describe_data_parallel
+
+        described = detect_and_describe_data_parallel(
+            jnp.asarray(images, jnp.float32), sift_cfg, mesh, blur
+        )
+    else:
+        described = detect_and_describe_batched_jit(
+            jnp.asarray(images, jnp.float32), sift_cfg, blur
+        )
     valid = np.asarray(described.valid)
     xs = np.asarray(described.abs_x)
     ys = np.asarray(described.abs_y)
@@ -383,14 +482,12 @@ def build_tracks_from_images(
 
     num_frames = images.shape[0]
     track_of = np.full(valid.shape, -1, np.int64)  # (F, slots)
-    next_track = 0
 
-    # Frame 0: every valid keypoint opens a track.
-    for j in np.where(valid[0])[0]:
-        if next_track >= max_tracks:
-            break
-        track_of[0, j] = next_track
-        next_track += 1
+    # Frame 0: every valid keypoint opens a track (vectorized — the
+    # per-keypoint Python loops here measured as a host bottleneck).
+    js = np.where(valid[0])[0][:max_tracks]
+    track_of[0, js] = np.arange(len(js))
+    next_track = len(js)
 
     for f in range(1, num_frames):
         m = match_descriptors(
@@ -432,24 +529,85 @@ def build_tracks_from_images(
             pair_i = pair_i[keep]
             pair_j = pair_j[keep]
 
-        for i, j in zip(pair_i, pair_j):
-            t = track_of[f - 1, i]
-            if t >= 0:
-                track_of[f, j] = t
-        for j in np.where(valid[f] & (track_of[f] < 0))[0]:
-            if next_track >= max_tracks:
-                break
-            track_of[f, j] = next_track
-            next_track += 1
+        # Chain matches into existing tracks (mutual cross-check makes
+        # the match one-to-one, so plain fancy indexing is race-free).
+        prev_t = track_of[f - 1, pair_i]
+        has_track = prev_t >= 0
+        track_of[f, pair_j[has_track]] = prev_t[has_track]
+
+        # Window re-association: keypoints the predecessor match left
+        # untracked are matched against up to ``reassoc_window`` older
+        # frames (most recent wins) — keyframe-sharded on a mesh.
+        if reassoc_window > 0 and f >= 2:
+            lo = max(0, f - 1 - reassoc_window)
+            kfs = list(range(lo, f - 1))  # excludes f-1 (already matched)
+            if kfs:
+                kf_desc = jnp.asarray(desc[kfs])
+                kf_valid = jnp.asarray(valid[kfs])
+                if mesh is not None:
+                    from ..parallel.distributed import (
+                        match_against_keyframes_sharded,
+                    )
+
+                    n_dev = mesh.devices.size
+                    pad_k = (-len(kfs)) % n_dev
+                    if pad_k:
+                        kf_desc = jnp.concatenate(
+                            [kf_desc, jnp.zeros(
+                                (pad_k,) + kf_desc.shape[1:], kf_desc.dtype
+                            )]
+                        )
+                        kf_valid = jnp.concatenate(
+                            [kf_valid, jnp.zeros(
+                                (pad_k,) + kf_valid.shape[1:], bool
+                            )]
+                        )
+                    w_idx, _, w_val = match_against_keyframes_sharded(
+                        jnp.asarray(desc[f]),
+                        jnp.asarray(valid[f]),
+                        kf_desc,
+                        kf_valid,
+                        mesh,
+                        ratio=match_ratio,
+                    )
+                    w_idx = np.asarray(w_idx)[: len(kfs)]
+                    w_val = np.asarray(w_val)[: len(kfs)]
+                else:
+                    def one_kf(kd, kv):
+                        m = match_descriptors(
+                            jnp.asarray(desc[f]),
+                            jnp.asarray(valid[f]),
+                            kd,
+                            kv,
+                            ratio=match_ratio,
+                        )
+                        return m.index, m.valid
+
+                    w_idx, w_val = jax.vmap(one_kf)(kf_desc, kf_valid)
+                    w_idx = np.asarray(w_idx)
+                    w_val = np.asarray(w_val)
+                # Most recent keyframe wins; only fill untracked slots.
+                for wk in range(len(kfs) - 1, -1, -1):
+                    kf = kfs[wk]
+                    # match is query(kf keypoints)->frame-f indices.
+                    src = np.where(w_val[wk])[0]
+                    dst = w_idx[wk, src]
+                    ok = (track_of[f, dst] < 0) & (track_of[kf, src] >= 0)
+                    track_of[f, dst[ok]] = track_of[kf, src[ok]]
+        # Unmatched valid keypoints open new tracks up to capacity.
+        js = np.where(valid[f] & (track_of[f] < 0))[0]
+        js = js[: max(0, max_tracks - next_track)]
+        track_of[f, js] = next_track + np.arange(len(js))
+        next_track += len(js)
 
     n_tracks = next_track
     pixels = np.zeros((num_frames, n_tracks, 2))
     visible = np.zeros((num_frames, n_tracks), bool)
-    for f in range(num_frames):
-        for j in np.where(track_of[f] >= 0)[0]:
-            t = track_of[f, j]
-            pixels[f, t] = (xs[f, j], ys[f, j])
-            visible[f, t] = True
+    f_idx, j_idx = np.where(track_of >= 0)
+    t_idx = track_of[f_idx, j_idx]
+    pixels[f_idx, t_idx, 0] = xs[f_idx, j_idx]
+    pixels[f_idx, t_idx, 1] = ys[f_idx, j_idx]
+    visible[f_idx, t_idx] = True
     return pixels, visible, valid.sum(axis=-1)
 
 
@@ -459,17 +617,25 @@ def run_slam_from_images(
     sift_cfg,
     slam_cfg: SlamConfig | None = None,
     match_ratio: float = 0.9,
+    mesh=None,
+    reassoc_window: int = 0,
+    blur: str = "separable",
+    **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
 
     Composes the SIFT frontend (detect+describe, batched), sequential
     descriptor tracking, and the incremental geometric backend
-    (:func:`run_slam`).
+    (:func:`run_slam`). With ``mesh`` the whole pipeline runs sharded:
+    data-parallel frontend, keyframe-sharded window matching, and
+    landmark-sharded distributed BA (BASELINE.json config[4]).
+    ``slam_kwargs`` forward to :func:`run_slam` (checkpointing etc.).
     """
     pixels, visible, _ = build_tracks_from_images(
-        images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio
+        images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio,
+        mesh=mesh, reassoc_window=reassoc_window, blur=blur,
     )
-    return run_slam(pixels, visible, k_mat, slam_cfg)
+    return run_slam(pixels, visible, k_mat, slam_cfg, mesh=mesh, **slam_kwargs)
 
 
 def evaluate_ate(result: SlamResult, gt_rotations, gt_translations) -> float:

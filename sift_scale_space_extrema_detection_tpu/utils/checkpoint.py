@@ -50,6 +50,34 @@ def save_checkpoint(path: str, tree, step: int | None = None) -> str:
         return os.path.join(path, name + ".npz")
 
 
+def restore_checkpoint_flat(path: str) -> dict:
+    """Template-free restore of a checkpoint saved from a FLAT dict.
+
+    Returns ``{key: np.ndarray}``. Used by SLAM resume (models/slam.py)
+    where leaf shapes (observation counts, frame index) are unknown
+    until the checkpoint is read, so no template pytree can exist.
+    """
+    if os.path.isdir(path):
+        try:
+            import orbax.checkpoint as ocp
+
+            checkpointer = ocp.StandardCheckpointer()
+            restored = checkpointer.restore(os.path.abspath(path))
+            return {k: np.asarray(v) for k, v in dict(restored).items()}
+        except Exception:
+            pass
+    npz = path if path.endswith(".npz") else path + ".npz"
+    data = np.load(npz)
+    with open(npz[:-4] + ".json") as f:
+        paths = json.load(f)["paths"]
+
+    def clean(p):
+        # Flat-dict key paths render as "['key']" via tree_flatten paths.
+        return p[2:-2] if p.startswith("['") and p.endswith("']") else p
+
+    return {clean(p): data[f"leaf_{i}"] for i, p in enumerate(paths)}
+
+
 def restore_checkpoint(path: str, like):
     """Restore a checkpoint into the structure of ``like`` (a template
     pytree with correctly-shaped leaves)."""

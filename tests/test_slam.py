@@ -80,3 +80,70 @@ def test_slam_with_pose_graph_step():
     )
     ate = evaluate_ate(result, seq.rotations, seq.translations)
     assert ate < 0.1, f"ATE {ate:.4f}"
+
+
+def test_slam_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Kill the SLAM loop mid-sequence, resume, match the full run.
+
+    SURVEY.md §5.4 / VERDICT round-1 item #10: periodic state
+    persistence + mid-sequence resume. The interrupted-then-resumed
+    trajectory must equal the uninterrupted one exactly (same inputs,
+    same numerics, state fully restored).
+    """
+    rng = np.random.default_rng(5)
+    seq = orbit_sequence(rng, num_frames=16, num_landmarks=120, noise_px=0.3)
+    cfg = SlamConfig(ba_interval=4)
+
+    full = run_slam(seq.pixels, seq.visible, seq.k_mat, cfg)
+
+    ckpt = str(tmp_path / "slam_ckpt")
+    partial = run_slam(
+        seq.pixels,
+        seq.visible,
+        seq.k_mat,
+        cfg,
+        checkpoint_dir=ckpt,
+        checkpoint_interval=3,
+        _stop_after=8,
+    )
+    # The aborted run stops mid-sequence: later frames untouched.
+    assert np.all(partial.rotations[12] == 0)
+
+    resumed = run_slam(
+        seq.pixels,
+        seq.visible,
+        seq.k_mat,
+        cfg,
+        checkpoint_dir=ckpt,
+        resume=True,
+    )
+    np.testing.assert_array_equal(resumed.rotations, full.rotations)
+    np.testing.assert_array_equal(resumed.translations, full.translations)
+    assert resumed.num_observations == full.num_observations
+
+
+def test_slam_distributed_mesh_matches_single_device():
+    """Composed distributed SLAM (landmark-sharded BA on an 8-device
+    mesh) reproduces the single-device trajectory (config[4])."""
+    import jax
+
+    from sift_scale_space_extrema_detection_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(6)
+    seq = orbit_sequence(rng, num_frames=12, num_landmarks=100, noise_px=0.3)
+    cfg = SlamConfig(ba_interval=4)
+
+    single = run_slam(seq.pixels, seq.visible, seq.k_mat, cfg)
+    mesh = make_mesh(8)
+    dist = run_slam(seq.pixels, seq.visible, seq.k_mat, cfg, mesh=mesh)
+
+    ate_s = evaluate_ate(single, seq.rotations, seq.translations)
+    ate_d = evaluate_ate(dist, seq.rotations, seq.translations)
+    # Same algorithm, different reduction order: trajectories agree to
+    # float tolerance and both meet the accuracy bound.
+    np.testing.assert_allclose(
+        dist.translations, single.translations, atol=5e-3
+    )
+    assert abs(ate_s - ate_d) < 1e-3
