@@ -14,9 +14,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
-BIG = jnp.float32(3.4e38)
+BIG = np.float32(3.4e38)  # plain numpy: a module-level jnp call would initialize the backend at import (breaks jax.distributed.initialize)
 
 
 @struct.dataclass
