@@ -33,14 +33,24 @@ def make_problem(rng, c, l, opc, dtype=np.float32):
         Observations,
     )
 
-    pts = rng.uniform([-4, -4, 6], [4, 4, 14], size=(l, 3)).astype(dtype)
+    # Camera ring orbiting the cloud (bounded poses at ANY camera count —
+    # the earlier open-ended track walked cameras 100 units away at
+    # c=1000, putting most points at tiny/negative depth and making the
+    # problem unsolvable by construction). Observations keep only
+    # positive-depth points so every residual is well-posed.
+    pts = rng.uniform([-4, -4, -4], [4, 4, 4], size=(l, 3)).astype(dtype)
     k_mat = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], dtype)
+    radius = 12.0
 
     rots, ts, cams, lms, uvs = [], [], [], [], []
     for ci in range(c):
-        r = np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.02 * ci, 0.0])), dtype)
-        t = np.array([0.1 * ci, 0, 0], dtype)
-        sel = rng.choice(l, opc, replace=False)
+        ang = 2.0 * np.pi * ci / max(c, 1)
+        r = np.asarray(geo.so3_exp(jnp.asarray([0.0, ang, 0.0])), dtype)
+        center = radius * np.array([np.sin(ang), 0.1 * np.sin(3 * ang), -np.cos(ang)])
+        t = (-r @ center).astype(dtype)
+        depths = pts @ r.T[:, 2] + t[2]
+        front = np.where(depths > 2.0)[0]
+        sel = rng.choice(front, opc, replace=len(front) < opc)
         xc = pts[sel] @ r.T + t
         uv = xc[:, :2] / xc[:, 2:3] * 500.0 + [320, 240]
         uv += 0.5 * rng.normal(size=uv.shape)
@@ -113,8 +123,9 @@ def main() -> None:
         solver=args.solver,
         cg_iterations=args.cg_iters,
     )
-    out, cost = run()
-    sync(out.points)  # warm-up/compile
+    for _ in range(2):  # compile + first post-compile run (~1.7x slower)
+        out, cost = run()
+        sync(out.points)
 
     t0 = time.perf_counter()
     out, cost = run()

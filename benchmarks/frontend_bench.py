@@ -1,0 +1,158 @@
+"""Frontend stage breakdown + HBM roofline accounting (single chip).
+
+Answers "is the pyramid at speed-of-light?" with numbers instead of
+adjectives (BASELINE.md targets: Gaussian/DoG kernels at
+speed-of-light per chip). Measures, on the bench config
+(64 x 640x480, 4 octaves / 5 scales per octave, float32):
+
+1. pyramid+DoG(+extrema masks) alone — the fused whole-octave Pallas
+   kernel path (ops/pallas/octave.py) — against its ideal HBM traffic
+   model, reporting achieved GB/s vs the chip's peak;
+2. the full detection pipeline (pyramid -> extrema -> refine), giving
+   the detection-tail time by subtraction;
+3. frames/s and keypoints/s per chip.
+
+Run: ``python benchmarks/frontend_bench.py [--batch 64]``.
+
+Traffic model for the detect path (per octave, B images of H x W f32,
+S scales, T = S-3 mask trios): the kernel reads each input stripe once
+with halo overlap (~1.05x the base plane), writes S-1 DoG planes, one
+seed plane, and T mask planes; the XLA-side selection then re-reads the
+T mask planes and the S-1 DoG planes (value gather is ~capacity-sized,
+negligible). Octave o has 4^-o as many pixels; the 2x-upsampled base
+doubles the octave-0 linear dims (reference/background.js:84).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+# Peak HBM bandwidth of one v5e chip (public spec: 819 GB/s).
+V5E_HBM_GBPS = 819.0
+
+
+def make_batch(batch: int, h: int, w: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 0.4 + 0.2 * np.sin(xx / 9.0) * np.cos(yy / 11.0)
+    for cy, cx, r, a in [
+        (120, 160, 6.0, 0.5),
+        (300, 400, 10.0, -0.35),
+        (200, 520, 4.0, 0.45),
+        (380, 100, 8.0, 0.3),
+    ]:
+        base = base + a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))
+    imgs = base[None] + 0.05 * rng.standard_normal((batch, h, w))
+    return (np.round(np.clip(imgs, 0.0, 1.0) * 255.0) / 255.0).astype(np.float32)
+
+
+def detect_traffic_bytes(batch: int, h: int, w: int, cfg) -> int:
+    """Ideal HBM bytes for the detect-path pyramid+DoG+masks build."""
+    total = 0
+    bh, bw = 2 * h, 2 * w  # 2x NN upsample (reference/background.js:84)
+    s = cfg.scales_per_octave_total
+    t = cfg.trios_per_octave
+    for _ in range(cfg.num_octaves):
+        plane = 4 * batch * bh * bw
+        read_base = int(1.05 * plane)  # stripe halo overlap ~5%
+        write = (s - 1 + 1 + t) * plane  # DoG + seed + masks
+        reread = (t + (s - 1)) * plane  # selection pass over masks+DoG
+        total += read_base + write + reread
+        bh //= 2
+        bw //= 2
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from sift_scale_space_extrema_detection_tpu import SiftConfig
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        build_pyramid_fused,
+        detect_batched_jit,
+    )
+
+    batch, h, w = args.batch, 480, 640
+    cfg = SiftConfig(num_octaves=4, scales_per_octave=5, max_keypoints_per_trio=512)
+    images = jax.device_put(make_batch(batch, h, w))
+
+    def sync_scalar(x) -> float:
+        # Host transfer of a scalar reduction: block_until_ready alone
+        # does not reliably sync on the tunneled TPU backend.
+        return float(np.asarray(x))
+
+    # --- full pipeline (measured FIRST: measuring the pyramid stage
+    # first was observed to leave the allocator in a state that slowed
+    # the full-pipeline executable ~1.6x) ------------------------------
+    for _ in range(2):  # compile + first-run warm-up
+        kp, _ = detect_batched_jit(images, cfg, "fused")
+        sync_scalar(jnp.sum(kp.abs_sigma))
+    # Keypoint count OUTSIDE the timed loop: its astype+sum eager ops
+    # have their own first-call compile cost (~190 ms once) that would
+    # pollute a short timed loop.
+    n_kp = int(sync_scalar(jnp.sum(kp.valid.astype(jnp.int32))))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        kp, _ = detect_batched_jit(images, cfg, "fused")
+        sync_scalar(jnp.sum(kp.abs_sigma))
+    total_s = (time.perf_counter() - t0) / args.iters
+
+    # --- stage: pyramid + DoG + masks alone (detect path) ---------------
+    @jax.jit
+    def pyramid_only(imgs):
+        _, dogs, masks = build_pyramid_fused(
+            imgs, cfg, emit_scales=False, emit_masks=True
+        )
+        return sum(jnp.sum(d[..., ::64, ::64]) for d in dogs) + sum(
+            jnp.sum(m[..., ::64, ::64]) for m in masks
+        )
+
+    # Two warm-ups: compile + first post-compile run (the first run
+    # after compilation measures ~1.7x steady state on the tunneled
+    # backend).
+    sync_scalar(pyramid_only(images))
+    sync_scalar(pyramid_only(images))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        sync_scalar(pyramid_only(images))
+    pyr_s = (time.perf_counter() - t0) / args.iters
+
+    ideal_bytes = detect_traffic_bytes(batch, h, w, cfg)
+    ideal_s = ideal_bytes / (V5E_HBM_GBPS * 1e9)
+    achieved_gbps = ideal_bytes / pyr_s / 1e9
+
+    tail_s = total_s - pyr_s
+    out = {
+        "batch": batch,
+        "pyramid_dog_masks_ms": round(pyr_s * 1e3, 2),
+        "ideal_roofline_ms": round(ideal_s * 1e3, 2),
+        "achieved_gb_s": round(achieved_gbps, 1),
+        "peak_gb_s": V5E_HBM_GBPS,
+        "roofline_fraction": round(achieved_gbps / V5E_HBM_GBPS, 3),
+        "detection_tail_ms": round(tail_s * 1e3, 2),
+        "total_ms": round(total_s * 1e3, 2),
+        "frames_per_s": round(batch / total_s, 1),
+        "keypoints_per_image": round(n_kp / batch, 1),
+        "keypoints_per_s": round(n_kp / total_s, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

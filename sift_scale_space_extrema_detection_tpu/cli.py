@@ -53,17 +53,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip PNG gallery dumps (keypoints JSON only)",
     )
     p.add_argument("--capacity", type=int, default=1024, help="max keypoints per trio")
+    p.add_argument(
+        "--verbose",
+        action="store_true",
+        help="log every candidate's accept/reject decision "
+        "(mirrors the reference's console.log, background.js:581-672)",
+    )
+    p.add_argument(
+        "--platform",
+        default="default",
+        choices=["default", "cpu", "tpu"],
+        help="force a JAX backend (the environment may override "
+        "JAX_PLATFORMS at interpreter start; this flag wins)",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.float64:
-        import jax
-
-        jax.config.update("jax_enable_x64", True)
     import jax
+
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from . import SiftConfig
@@ -126,6 +140,44 @@ def main(argv=None) -> int:
     for name, c in zip(REJECT_REASON_NAMES, counts):
         print(f"  {name}: {int(c)}")
 
+    if args.verbose:
+        # Per-candidate decision log (reference/background.js:581, :602,
+        # :615, :648-663, :672). Keypoint slots per octave are aligned
+        # with the refine input = compact_extrema(e, refine_capacity),
+        # so each slot's initial candidate identity comes from there.
+        from .ops.extrema import compact_extrema
+
+        kp_reason = np.asarray(keypoints.reject_reason)
+        kp_valid = np.asarray(keypoints.valid)
+        kp_ax = np.asarray(keypoints.abs_x)
+        kp_ay = np.asarray(keypoints.abs_y)
+        kp_sigma = np.asarray(keypoints.abs_sigma)
+        offset = 0
+        for octave, e in enumerate(extrema):
+            cap = cfg.refine_capacity(octave)
+            sel = compact_extrema(e, cap)
+            sy = np.asarray(sel.y)
+            sx = np.asarray(sel.x)
+            ss = np.asarray(sel.scale_level)
+            sv = np.asarray(sel.valid)
+            for i in range(cap):
+                if not sv[i]:
+                    continue
+                slot = offset + i
+                reason = REJECT_REASON_NAMES[int(kp_reason[slot])]
+                line = (
+                    f"  octave {octave} scale {int(ss[i])} "
+                    f"(x={int(sx[i])}, y={int(sy[i])}): {reason}"
+                )
+                if kp_valid[slot]:
+                    line += (
+                        f" -> abs=({float(kp_ax[slot]):.2f}, "
+                        f"{float(kp_ay[slot]):.2f}) "
+                        f"sigma={float(kp_sigma[slot]):.3f}"
+                    )
+                print(line)
+            offset += cap
+
     # Keypoints JSON with the reference record schema
     # (reference/background.js:619-628).
     valid = np.asarray(keypoints.valid)
@@ -179,11 +231,26 @@ def main(argv=None) -> int:
                 os.path.join(args.outdir, f"dog_octave{o}.png"),
                 vis.gallery_image(np.asarray(d), normalize="sigmoid"),
             )
-        # Candidate markers (red = low contrast pre-filter rejects
-        # live only as counters; markers show accepted candidates).
+        # Candidate-marker galleries: yellow = candidates, translucent
+        # red = low-contrast pre-filter rejects, painted onto each
+        # octave's base image like the reference's third gallery
+        # (reference/main.js:315-319, background.js:408-421).
+        from .ops.extrema import find_low_contrast_extrema
+
+        for o, (stack, d) in enumerate(zip(scale_space, dog)):
+            low = find_low_contrast_extrema(d, cfg, cfg.keypoints_per_trio(o))
+            marks = []
+            for e, is_low in ((extrema[o], False), (low, True)):
+                ev = np.asarray(e.valid)
+                for y, x in zip(np.asarray(e.y)[ev], np.asarray(e.x)[ev]):
+                    marks.append((int(y), int(x), is_low))
+            vis.save_png(
+                os.path.join(args.outdir, f"candidates_octave{o}.png"),
+                vis.draw_candidate_markers(np.asarray(stack[0]), marks),
+            )
         overlay = vis.draw_keypoints(np.asarray(gray, np.float64), keypoints)
         vis.save_png(os.path.join(args.outdir, "keypoints.png"), overlay)
-        print(f"galleries + overlay → {args.outdir}/")
+        print(f"galleries + candidate markers + overlay → {args.outdir}/")
 
     return 0
 

@@ -288,6 +288,47 @@ def select_refine_candidates(
     )
 
 
+def find_low_contrast_extrema(
+    dog: jax.Array, cfg: SiftConfig, capacity: int | None = None
+) -> Extrema:
+    """Positions of the low-contrast pre-filter rejects, per trio.
+
+    The reference keeps rejected low-contrast extrema as first-class
+    records (reference/src/sift.js:296-307, background.js:408-421) and
+    paints them red in the candidate gallery (main.js:315-319). The hot
+    path keeps only their per-trio counts; this diagnostic/display
+    function compacts their positions with the same slot ordering as
+    :func:`find_extrema`. ``num_candidates`` here counts the low-contrast
+    rejects (the buffer's own occupancy accounting); ``num_low_contrast``
+    matches it.
+    """
+    h, w = dog.shape[-2], dog.shape[-1]
+    cap = cfg.max_keypoints_per_trio if capacity is None else capacity
+    min3, max3 = _neighborhood_min_max(dog)
+    ys, xs, scale_levels, vals, valids = [], [], [], [], []
+    n_low = []
+    for s in range(1, cfg.dog_per_octave - 1):
+        _, low_mask = _trio_masks(dog, min3, max3, s, cfg)
+        center = dog[s, 1 : h - 1, 1 : w - 1]
+        y, x, value, valid, total = _compact(low_mask, center, cap)
+        ys.append(y)
+        xs.append(x)
+        scale_levels.append(jnp.full((cap,), s, jnp.int32))
+        vals.append(value)
+        valids.append(valid)
+        n_low.append(total)
+
+    return Extrema(
+        y=jnp.concatenate(ys),
+        x=jnp.concatenate(xs),
+        scale_level=jnp.concatenate(scale_levels),
+        value=jnp.concatenate(vals),
+        valid=jnp.concatenate(valids),
+        num_candidates=jnp.stack(n_low),
+        num_low_contrast=jnp.stack(n_low),
+    )
+
+
 def find_extrema(
     dog: jax.Array, cfg: SiftConfig, capacity: int | None = None
 ) -> Extrema:

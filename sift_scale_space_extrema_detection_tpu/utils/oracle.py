@@ -233,6 +233,7 @@ def find_candidate_keypoints(
                     "scaleLevel": scale,
                     "localExtremas": found["candidateKeypoints"],
                     "lowContrastCount": len(found["lowContrastKeypoints"]),
+                    "lowContrastKeypoints": found["lowContrastKeypoints"],
                 }
             )
         extremas.append(octave_scales)
@@ -328,6 +329,7 @@ def refine_candidate_keypoints(
     mirroring the reference's console.log taxonomy (SURVEY.md §5.5).
     """
     refined = []
+    decisions = []  # per-candidate fate, in the reference's iteration order
     counts = {
         "accepted": 0,
         "low_contrast": 0,
@@ -350,6 +352,7 @@ def refine_candidate_keypoints(
                 s = candidate_keypoints[octave][scale_i]["scaleLevel"]
                 m = extrema["y"]
                 n = extrema["x"]
+                s0, m0, n0 = s, m, n  # initial identity for decision log
                 reason = "max_iterations"
                 for _ in range(max_iterations):
                     g = _gradient(dog_octave, s, m, n)
@@ -409,7 +412,20 @@ def refine_candidate_keypoints(
                         reason = "out_of_bounds"
                         break
                 counts[reason] += 1
-    return {"refinedKeypoints": refined, "rejectionCounts": counts}
+                decisions.append(
+                    {
+                        "octave": octave,
+                        "scaleLevel": s0,
+                        "y": m0,
+                        "x": n0,
+                        "reason": reason,
+                    }
+                )
+    return {
+        "refinedKeypoints": refined,
+        "rejectionCounts": counts,
+        "decisions": decisions,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -449,4 +465,5 @@ def detect(
         "candidateKeypoints": candidates,
         "refinedKeypoints": refined["refinedKeypoints"],
         "rejectionCounts": refined["rejectionCounts"],
+        "decisions": refined["decisions"],
     }

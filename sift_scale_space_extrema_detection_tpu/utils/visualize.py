@@ -55,6 +55,28 @@ def save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(img).save(path)
 
 
+def draw_candidate_markers(
+    gray01: np.ndarray,
+    candidates: list[tuple[int, int, bool]],
+) -> np.ndarray:
+    """RGB octave image with the reference's candidate markers.
+
+    ``candidates``: ``(y, x, low_contrast)`` in octave-local pixels.
+    3×3 rects, translucent red for low-contrast pre-filter rejects and
+    yellow for accepted candidates (reference/main.js:315-319 paints
+    ``#f003`` / yellow onto the octave base image).
+    """
+    h, w = gray01.shape
+    rgb = np.stack([to_u8(gray01)] * 3, axis=-1).astype(np.int32)
+    for cy, cx, low in candidates:
+        y, x = int(cy), int(cx)
+        y0, y1 = max(0, y - 1), min(h, y + 2)
+        x0, x1 = max(0, x - 1), min(w, x + 2)
+        color = (255, 0, 0) if low else (255, 255, 0)
+        rgb[y0:y1, x0:x1] = (rgb[y0:y1, x0:x1] * 2 + np.array(color)) // 3
+    return rgb.astype(np.uint8)
+
+
 def draw_keypoints(
     gray01: np.ndarray,
     keypoints,

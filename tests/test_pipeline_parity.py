@@ -188,3 +188,82 @@ def test_decision_margins_robust(oracle_result):
                         assert abs(tr * tr / det2 - edge_thr) > 1e-9
                 checked += 1
     assert checked > 0
+
+
+def test_low_contrast_positions_parity(jax_dog, oracle_result):
+    """Low-contrast pre-filter rejects match the reference's first-class
+    records one-to-one (positions, values, row-major order;
+    reference/src/sift.js:296-307, background.js:408-421)."""
+    from sift_scale_space_extrema_detection_tpu.ops.extrema import (
+        find_low_contrast_extrema,
+    )
+
+    total = 0
+    for o, d in enumerate(jax_dog):
+        low = find_low_contrast_extrema(d, CFG)
+        cap = CFG.max_keypoints_per_trio
+        for trio_idx in range(CFG.trios_per_octave):
+            ref = oracle_result["candidateKeypoints"][o][trio_idx][
+                "lowContrastKeypoints"
+            ]
+            seg = slice(trio_idx * cap, (trio_idx + 1) * cap)
+            valid = np.asarray(low.valid[seg])
+            assert valid.sum() == len(ref)
+            ys = np.asarray(low.y[seg])[valid]
+            xs = np.asarray(low.x[seg])[valid]
+            vals = np.asarray(low.value[seg])[valid]
+            for i, kp in enumerate(ref):
+                assert ys[i] == kp["y"], (o, trio_idx, i)
+                assert xs[i] == kp["x"], (o, trio_idx, i)
+                assert vals[i] == kp["value"], (o, trio_idx, i)
+            total += len(ref)
+    assert total > 5, "test image should produce low-contrast rejects"
+
+
+def test_per_keypoint_decision_parity(jax_dog, jax_detection, oracle_result):
+    """Every candidate's accept/reject FATE matches the oracle's decision
+    log one-to-one, in the reference's iteration order (SURVEY.md §5.5
+    'diff rejection reasons one-to-one')."""
+    from sift_scale_space_extrema_detection_tpu.ops.extrema import (
+        compact_extrema,
+    )
+
+    keypoints, extrema = jax_detection
+    decisions = oracle_result["decisions"]
+    ref_by_octave = {}
+    for d in decisions:
+        ref_by_octave.setdefault(d["octave"], []).append(d)
+
+    offset = 0
+    checked = 0
+    for octave, e in enumerate(extrema):
+        cap = CFG.refine_capacity(octave)
+        sel = compact_extrema(e, cap)
+        sv = np.asarray(sel.valid)
+        sy = np.asarray(sel.y)
+        sx = np.asarray(sel.x)
+        ss = np.asarray(sel.scale_level)
+        refs = ref_by_octave.get(octave, [])
+        assert sv.sum() == len(refs), f"octave {octave} candidate count"
+        kp_reason = np.asarray(keypoints.reject_reason)[offset : offset + cap]
+        k = 0
+        for i in range(cap):
+            if not sv[i]:
+                continue
+            ref = refs[k]
+            assert int(ss[i]) == ref["scaleLevel"], (octave, k)
+            assert int(sy[i]) == ref["y"], (octave, k)
+            assert int(sx[i]) == ref["x"], (octave, k)
+            got = REJECT_REASON_NAMES[int(kp_reason[i])]
+            assert got == ref["reason"], (
+                octave,
+                k,
+                (int(sy[i]), int(sx[i])),
+                got,
+                ref["reason"],
+            )
+            k += 1
+            checked += 1
+        offset += cap
+    assert checked == len(decisions)
+    assert checked > 20
