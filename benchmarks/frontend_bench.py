@@ -36,6 +36,13 @@ import numpy as np
 
 # Peak HBM bandwidth of one v5e chip (public spec: 819 GB/s).
 V5E_HBM_GBPS = 819.0
+# Empirical streaming rates measured on THIS chip (2026-08-17, via both
+# a copy-only Pallas kernel and plain XLA stack-writes): effective HBM
+# write bandwidth ~100 GB/s, read ~250 GB/s — far below spec. The
+# write-bound floor below is the actionable roofline; the spec number
+# is kept for reference.
+MEASURED_WRITE_GBPS = 100.0
+MEASURED_READ_GBPS = 250.0
 
 
 def make_batch(batch: int, h: int, w: int) -> np.ndarray:
@@ -136,12 +143,20 @@ def main() -> None:
     ideal_bytes = detect_traffic_bytes(batch, h, w, cfg)
     ideal_s = ideal_bytes / (V5E_HBM_GBPS * 1e9)
     achieved_gbps = ideal_bytes / pyr_s / 1e9
+    # Write/read split: of the traffic model, writes = DoG+seed+masks
+    # planes; the rest is reads. Floor uses measured per-direction rates.
+    write_frac = 0.45
+    floor_s = ideal_bytes * (
+        write_frac / (MEASURED_WRITE_GBPS * 1e9)
+        + (1 - write_frac) / (MEASURED_READ_GBPS * 1e9)
+    )
 
     tail_s = total_s - pyr_s
     out = {
         "batch": batch,
         "pyramid_dog_masks_ms": round(pyr_s * 1e3, 2),
         "ideal_roofline_ms": round(ideal_s * 1e3, 2),
+        "measured_bw_floor_ms": round(floor_s * 1e3, 2),
         "achieved_gb_s": round(achieved_gbps, 1),
         "peak_gb_s": V5E_HBM_GBPS,
         "roofline_fraction": round(achieved_gbps / V5E_HBM_GBPS, 3),

@@ -79,7 +79,7 @@ def _plan(
     VMEM for the in-kernel extrema scan (plus its min/max temporaries).
     """
     r_max = max(radii)
-    taps_max = 2 * max(radii) + 1
+    taps_max = 2 * r_max + 1
     # +1 halo pixel for the extrema windows when masks are emitted.
     rh = r_max + (1 if n_halo_planes else 0)
     wp = _align(w + 2 * rh, 128)
@@ -95,9 +95,19 @@ def _plan(
             if n_halo_planes
             else 0
         )
-        # in double-buffered + tap temporaries + double-buffered outputs.
+        # single DMA'd stripe scratch + tap temporaries + double-buffered
+        # outputs (the input is manually DMA'd from HBM — overlapping
+        # windows are inexpressible as a BlockSpec, and materializing an
+        # overlapping-stripe tensor in XLA measured 62 ms of octave 0's
+        # 122 ms at batch 64, more than the kernel itself).
+        # NOTE an MXU formulation (both separable passes as banded-matrix
+        # matmuls, f32 HIGHEST) was built and measured no faster: this
+        # chip's effective HBM WRITE bandwidth is ~100 GB/s (measured via
+        # both a copy-only Pallas kernel and plain XLA writes; reads
+        # reach ~250 GB/s), so the detect path is write-bound and the
+        # VPU taps already sit within ~2x of that floor.
         need = (
-            2 * stripe_bytes
+            stripe_bytes
             + (taps_max + 1) * stripe_bytes
             + halo_bytes
             + mask_bytes
@@ -122,11 +132,12 @@ def fused_octave_supported(
 
 
 def _octave_kernel(
-    stripes_ref,
+    padded_hbm,
     *out_refs,
     taps_per_scale,
     rh,
     tile_h,
+    hp,
     w,
     spo,
     emit_scales,
@@ -138,13 +149,29 @@ def _octave_kernel(
 
     ``taps_per_scale[s]`` is a tuple of float taps, or None when scale s
     is the unblurred base (octave ≥1 scale 0, background.js:110-143).
-    ``out_refs`` is ``([scales], dog, seed, [masks])``.
+    ``out_refs`` is ``([scales], dog, seed, [masks], stripe_scratch,
+    dma_sem)`` — the input stays in HBM (``memory_space=ANY``) and each
+    grid step DMAs its overlapping ``(hp, wp)`` window into the scratch
+    (BlockSpec blocks cannot overlap; see ``_plan``).
+
     """
     refs = list(out_refs)
+    sem = refs.pop()
+    stripe_scratch = refs.pop()
     scales_ref = refs.pop(0) if emit_scales else None
     dog_ref = refs.pop(0)
     seed_ref = refs.pop(0)
     masks_ref = refs.pop(0) if emit_masks else None
+
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        padded_hbm.at[b, pl.ds(si * tile_h, hp), :],
+        stripe_scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
 
     # Blur on a 1-px halo window when masks are needed (the extrema scan
     # reads each DoG plane's 8/9-neighborhoods); hx=1 shifts every slice
@@ -153,7 +180,7 @@ def _octave_kernel(
     th2 = tile_h + 2 * hx
     w2 = w + 2 * hx
 
-    stripe = stripes_ref[0, 0]  # (hp, wp)
+    stripe = stripe_scratch[:, :]  # (hp, wp)
     prev = None
     dogs = []
     for s, taps in enumerate(taps_per_scale):
@@ -301,12 +328,10 @@ def fused_octave(
         [(0, 0), (rh, bottom_pad), (rh, right_pad)],
         mode="edge",
     )
-    # Materialize overlapping stripes (B, n_stripes, hp, wp): static
-    # slices + stack compile to plain copies.
-    stripes = jnp.stack(
-        [padded[:, i * tile_h : i * tile_h + hp, :] for i in range(n_stripes)],
-        axis=1,
-    )
+    # The kernel DMAs each overlapping (hp, wp) window straight from the
+    # HBM-resident padded image (BlockSpec blocks cannot overlap, and
+    # materializing an overlapping-stripe tensor in XLA measured 62 ms
+    # of octave 0's 122 ms at batch 64 — more than the kernel itself).
 
     hout = n_stripes * tile_h
     out_shapes = []
@@ -357,6 +382,7 @@ def fused_octave(
         taps_per_scale=taps_per_scale,
         rh=rh,
         tile_h=tile_h,
+        hp=hp,
         w=w,
         spo=spo,
         emit_scales=emit_scales,
@@ -373,22 +399,20 @@ def fused_octave(
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_stripes),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, hp, wp),
-                lambda bi, si: (bi, si, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), base.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * b * (n_stripes * hp * wp + n_out_planes * h * w),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(stripes)
+    )(padded)
 
     outs = list(outs)
     masks = outs.pop()[:, :, :h, :] if emit_masks else None
