@@ -96,6 +96,7 @@ def main() -> None:
     t1 = time.perf_counter()
 
     fps = batch * iters / (t1 - t0)
+    n_kp = int(np.asarray(jnp.sum(keypoints.valid.astype(jnp.int32))))
     baseline = ORACLE_BASELINE_FPS
     print(
         json.dumps(
@@ -104,6 +105,7 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline, 2),
+                "keypoints_per_s": round(fps * n_kp / batch, 1),
             }
         )
     )

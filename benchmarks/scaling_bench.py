@@ -1,0 +1,115 @@
+"""Multi-device scaling efficiency on a virtual CPU mesh.
+
+Real multi-chip hardware is not reachable from this environment (one
+tunneled TPU chip), so scaling is measured the way the test suite
+validates sharding: N virtual CPU devices via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4). Numbers are
+RELATIVE — the point is parallel efficiency of the sharded programs
+(DP frontend, landmark-sharded BA), not absolute CPU speed.
+
+Run: ``python benchmarks/scaling_bench.py [--devices 8]``.
+
+Caveat: virtual devices share one host's cores, so ideal scaling is
+bounded by core count and memory bandwidth, not ICI — treat the
+efficiency numbers as a lower bound on what real chips (independent
+HBM + compute per device) would reach; the collective topology
+(`psum` over the mesh axis) is identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--batch-per-device", type=int, default=2)
+    args = ap.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, ".")
+    from benchmarks.ba_bench import make_problem
+    from sift_scale_space_extrema_detection_tpu import SiftConfig
+    from sift_scale_space_extrema_detection_tpu.parallel import (
+        detect_and_describe_data_parallel,
+        distributed_bundle_adjust,
+        make_mesh,
+    )
+
+    assert len(jax.devices()) >= args.devices
+
+    def sync(x):
+        return float(np.asarray(jnp.sum(jnp.asarray(x, jnp.float32))))
+
+    results = {}
+
+    # --- data-parallel frontend --------------------------------------
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
+    rng = np.random.default_rng(0)
+    img = rng.random((args.batch_per_device * args.devices, 120, 160)).astype(
+        np.float32
+    )
+    for n_dev in (1, args.devices):
+        print(f"frontend {n_dev}dev...", file=sys.stderr, flush=True)
+        mesh = make_mesh(n_dev)
+        batch = img[: args.batch_per_device * n_dev]
+        out = detect_and_describe_data_parallel(
+            jnp.asarray(batch), cfg, mesh
+        )
+        sync(out.abs_sigma)  # compile+run
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = detect_and_describe_data_parallel(jnp.asarray(batch), cfg, mesh)
+            sync(out.abs_sigma)
+        dt = (time.perf_counter() - t0) / 3
+        results[f"frontend_fps_{n_dev}dev"] = round(batch.shape[0] / dt, 2)
+
+    eff = results[f"frontend_fps_{args.devices}dev"] / (
+        results["frontend_fps_1dev"] * args.devices
+    )
+    results["frontend_scaling_efficiency"] = round(eff, 3)
+
+    # --- landmark-sharded distributed BA ------------------------------
+    state, obs = make_problem(np.random.default_rng(0), 20, 2048, 256)
+    for n_dev in (1, args.devices):
+        print(f"ba {n_dev}dev...", file=sys.stderr, flush=True)
+        mesh = make_mesh(n_dev)
+        _, cost = distributed_bundle_adjust(state, obs, mesh, num_iterations=5)
+        float(cost)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, cost = distributed_bundle_adjust(
+                state, obs, mesh, num_iterations=5
+            )
+            float(cost)
+        dt = (time.perf_counter() - t0) / 3
+        results[f"ba_iters_per_s_{n_dev}dev"] = round(5 / dt, 2)
+
+    results["ba_scaling_efficiency"] = round(
+        results[f"ba_iters_per_s_{args.devices}dev"]
+        / (results["ba_iters_per_s_1dev"] * args.devices),
+        3,
+    )
+    results["devices"] = args.devices
+    results["note"] = "virtual CPU mesh; relative parallel efficiency"
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

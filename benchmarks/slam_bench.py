@@ -1,0 +1,119 @@
+"""End-to-end visual SLAM throughput (single chip).
+
+BASELINE.json's end-to-end metric needs a frames/s number for the full
+pipeline — images → detect+describe → track → PnP/triangulate → BA —
+not just the detection frontend. Renders a synthetic blob-field dolly
+sequence (the same generator the visual-SLAM tests use), runs
+:func:`run_slam_from_images`, and reports frames/s, ATE, and map size.
+
+Run: ``python benchmarks/slam_bench.py [--frames 40] [--size 640x480]``.
+
+The host-side tracking/geometry glue is part of the measurement on
+purpose: it is the production path. The frontend runs batched on
+device; BA runs every ``ba_interval`` frames.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def render_sequence(rng, num_frames, w, h):
+    import jax.numpy as jnp
+
+    from sift_scale_space_extrema_detection_tpu.sfm import geometry as geo
+    from sift_scale_space_extrema_detection_tpu.utils.synthetic import (
+        render_blob_image,
+        textured_blob_field,
+    )
+
+    # Same generator family as tests/test_visual_slam.py: textured blob
+    # satellites (isotropic blobs alone are rotationally symmetric and
+    # mutually identical — the ratio test kills every match), slow
+    # lateral dolly.
+    k_mat = np.array([[260.0 * w / 320, 0, w / 2], [0, 260.0 * w / 320, h / 2], [0, 0, 1.0]])
+    pts = rng.uniform([-3.5, -1.8, 4.0], [3.5, 1.8, 9.0], size=(160, 3))
+    rpts, amps, ss = textured_blob_field(rng, pts)
+
+    rots, ts, imgs = [], [], []
+    for f in range(num_frames):
+        r = np.asarray(geo.so3_exp(jnp.asarray([0.004 * f, -0.01 * f, 0.002 * f])))
+        center = np.array([0.14 * f, 0.01 * f, 0.0])
+        t = -r @ center
+        imgs.append(
+            render_blob_image(
+                rpts, r, t, k_mat, (w, h),
+                amplitudes=amps, sigma_scales=ss,
+                rng=np.random.default_rng(100 + f),
+            )
+        )
+        rots.append(r)
+        ts.append(t)
+    return np.stack(imgs), np.stack(rots), np.stack(ts), k_mat
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--size", default="640x480")
+    ap.add_argument("--blur", default="separable")
+    args = ap.parse_args()
+    w, h = (int(v) for v in args.size.split("x"))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from sift_scale_space_extrema_detection_tpu import SiftConfig
+    from sift_scale_space_extrema_detection_tpu.models.slam import (
+        SlamConfig,
+        evaluate_ate,
+        run_slam_from_images,
+    )
+
+    rng = np.random.default_rng(0)
+    t_render = time.perf_counter()
+    images, gt_r, gt_t, k_mat = render_sequence(rng, args.frames, w, h)
+    t_render = time.perf_counter() - t_render
+
+    sift_cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+    slam_cfg = SlamConfig(ba_interval=5, ba_window=8)
+
+    # Warm-up on a short prefix (compiles the frontend + BA shapes).
+    run_slam_from_images(
+        images[:6], k_mat, sift_cfg, slam_cfg, blur=args.blur
+    )
+
+    t0 = time.perf_counter()
+    result = run_slam_from_images(
+        images, k_mat, sift_cfg, slam_cfg, blur=args.blur
+    )
+    dt = time.perf_counter() - t0
+
+    ate = evaluate_ate(result, gt_r, gt_t)
+    print(
+        json.dumps(
+            {
+                "frames": args.frames,
+                "image": f"{w}x{h}",
+                "slam_frames_per_s": round(args.frames / dt, 2),
+                "total_s": round(dt, 2),
+                "ate": round(ate, 4),
+                "landmarks": int(result.landmark_valid.sum()),
+                "observations": int(result.num_observations),
+                "render_s": round(t_render, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -441,6 +441,7 @@ def build_tracks_from_images(
     ransac_threshold_px: float = 2.0,
     mesh=None,
     reassoc_window: int = 0,
+    frontend_chunk: int = 16,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -465,16 +466,39 @@ def build_tracks_from_images(
     from .frontend import detect_and_describe_batched_jit
     from ..sfm.geometry import backproject as geo_backproject
 
+    # Frontend in fixed-size chunks: the describe path materializes the
+    # Gaussian stacks, so a long sequence in ONE batch exceeds HBM
+    # (40 frames at 480p measured a 22 GB octave-0 allocation). Chunks
+    # share one compiled executable; the tail chunk is padded to the
+    # chunk size so no second compilation happens.
     if mesh is not None:
         from ..parallel.distributed import detect_and_describe_data_parallel
 
-        described = detect_and_describe_data_parallel(
-            jnp.asarray(images, jnp.float32), sift_cfg, mesh, blur
+        frontend = lambda im: detect_and_describe_data_parallel(  # noqa: E731
+            im, sift_cfg, mesh, blur
         )
+        chunk = frontend_chunk * mesh.devices.size
     else:
-        described = detect_and_describe_batched_jit(
-            jnp.asarray(images, jnp.float32), sift_cfg, blur
+        frontend = lambda im: detect_and_describe_batched_jit(  # noqa: E731
+            im, sift_cfg, blur
         )
+        chunk = frontend_chunk
+    num_frames_total = images.shape[0]
+    parts = []
+    for lo in range(0, num_frames_total, chunk):
+        part = np.asarray(images[lo : lo + chunk], np.float32)
+        pad = chunk - part.shape[0]
+        if pad and len(parts):  # tail: pad to reuse the compiled shape
+            part = np.concatenate([part, np.zeros((pad,) + part.shape[1:], part.dtype)])
+        out = frontend(jnp.asarray(part))
+        if pad and len(parts):
+            out = jax.tree.map(lambda a: a[: chunk - pad], out)
+        parts.append(out)
+    described = (
+        parts[0]
+        if len(parts) == 1
+        else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    )
     valid = np.asarray(described.valid)
     xs = np.asarray(described.abs_x)
     ys = np.asarray(described.abs_y)
