@@ -162,22 +162,28 @@ def main() -> None:
                 ob.camera, ob.landmark, ob.uv, ob.valid, lam, c,
             )
         )
+        # Sustained timing (dispatch all, sync once at the end):
+        # a per-call sync costs one ~30 ms tunnel round-trip, which
+        # swamps a ~10 ms stage and once produced a negative "LM
+        # overhead" in this very breakdown.
         pieces = assemble(state, obs)
         sync(pieces.s_off)
+        reps = 10
         t0 = time.perf_counter()
-        for _ in range(5):
-            pieces = assemble(state, obs)
-            sync(pieces.s_off)
-        t_asm = (time.perf_counter() - t0) / 5
+        outs = [assemble(state, obs) for _ in range(reps)]
+        for p in outs:
+            sync(p.s_off)
+        t_asm = (time.perf_counter() - t0) / reps
 
         solve = jax.jit(
             lambda p: solve_reduced(p.h_cc, p.b_c, p.s_off, p.rhs_off, lam, 1)
         )
         sync(solve(pieces))
         t0 = time.perf_counter()
-        for _ in range(5):
-            sync(solve(pieces))
-        t_slv = (time.perf_counter() - t0) / 5
+        outs = [solve(pieces) for _ in range(reps)]
+        for o in outs:
+            sync(o)
+        t_slv = (time.perf_counter() - t0) / reps
         print(
             f"breakdown: assembly+schur {1e3 * t_asm:.2f} ms, "
             f"reduced solve {1e3 * t_slv:.2f} ms "

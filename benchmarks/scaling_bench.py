@@ -13,7 +13,13 @@ Caveat: virtual devices share one host's cores, so ideal scaling is
 bounded by core count and memory bandwidth, not ICI — treat the
 efficiency numbers as a lower bound on what real chips (independent
 HBM + compute per device) would reach; the collective topology
-(`psum` over the mesh axis) is identical.
+(`psum` over the mesh axis) is identical. The report therefore
+includes ``host_cores`` and the single-device CPU utilization: a
+program that already keeps ``u`` cores busy on one virtual device has
+a hard wall-clock speedup ceiling of ``cores/u`` no matter how well
+the sharded program divides work (measured here: BA keeps ~2.6 of 4
+cores busy single-device → ceiling ~1.5x, and the sharded run sits at
+it; the frontend is dispatch-bound single-device and reaches ~7x).
 """
 
 from __future__ import annotations
@@ -57,7 +63,7 @@ def main() -> None:
     def sync(x):
         return float(np.asarray(jnp.sum(jnp.asarray(x, jnp.float32))))
 
-    results = {}
+    results = {"host_cores": os.cpu_count()}
 
     # --- data-parallel frontend --------------------------------------
     cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
@@ -86,26 +92,39 @@ def main() -> None:
     results["frontend_scaling_efficiency"] = round(eff, 3)
 
     # --- landmark-sharded distributed BA ------------------------------
-    state, obs = make_problem(np.random.default_rng(0), 20, 2048, 256)
+    # Big enough that each of the 8 shards holds a real landmark block
+    # (2048 landmarks/8 = 256/device measured 10% efficiency — psum
+    # latency dominated; 32k/8 = 4k/device is a realistic SLAM map).
+    state, obs = make_problem(np.random.default_rng(0), 48, 32768, 512)
+    busy_1dev = None
     for n_dev in (1, args.devices):
         print(f"ba {n_dev}dev...", file=sys.stderr, flush=True)
         mesh = make_mesh(n_dev)
         _, cost = distributed_bundle_adjust(state, obs, mesh, num_iterations=5)
         float(cost)
-        t0 = time.perf_counter()
+        t0, c0 = time.perf_counter(), time.process_time()
         for _ in range(3):
             _, cost = distributed_bundle_adjust(
                 state, obs, mesh, num_iterations=5
             )
             float(cost)
         dt = (time.perf_counter() - t0) / 3
+        if n_dev == 1:
+            busy_1dev = (time.process_time() - c0) / (3 * dt)
         results[f"ba_iters_per_s_{n_dev}dev"] = round(5 / dt, 2)
 
-    results["ba_scaling_efficiency"] = round(
+    speedup = (
         results[f"ba_iters_per_s_{args.devices}dev"]
-        / (results["ba_iters_per_s_1dev"] * args.devices),
-        3,
+        / results["ba_iters_per_s_1dev"]
     )
+    results["ba_speedup"] = round(speedup, 2)
+    results["ba_scaling_efficiency"] = round(speedup / args.devices, 3)
+    # Hard wall-clock ceiling on shared cores: 1-device BA already uses
+    # busy_1dev cores, so N virtual devices can at best reach
+    # cores/busy_1dev x. Real chips have no such ceiling.
+    ceiling = max(results["host_cores"] / max(busy_1dev, 1e-6), 1.0)
+    results["ba_1dev_cores_busy"] = round(busy_1dev, 2)
+    results["ba_speedup_vs_core_ceiling"] = round(min(speedup / ceiling, 1.0), 3)
     results["devices"] = args.devices
     results["note"] = "virtual CPU mesh; relative parallel efficiency"
     print(json.dumps(results))

@@ -64,11 +64,19 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--size", default="640x480")
     ap.add_argument("--blur", default="separable")
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the axon sitecustomize overrides "
+        "JAX_PLATFORMS=cpu, so an env var alone cannot)",
+    )
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

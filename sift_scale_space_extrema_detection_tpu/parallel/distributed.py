@@ -17,9 +17,13 @@ Sharding layout (BASELINE.json config[4]):
   back-substitute locally — no gather of the landmark block ever
   materializes on one device.
 
-Observation buffers are replicated; each observation is *owned* by the
-device holding its landmark (ownership mask), so psum'd camera-side
-sums count every observation exactly once.
+Observation buffers are sharded by the landmark owner: host-side
+grouping places each observation on the device that holds its landmark,
+so the per-observation work (residuals, Jacobians, Schur assembly — the
+dominant cost) is divided, not replicated, and psum'd camera-side sums
+count every observation exactly once. (The earlier replicated-buffer +
+ownership-mask layout made every device walk ALL observations: 8-device
+BA measured ~0.1 parallel efficiency — slower than one device.)
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -147,6 +152,41 @@ def distributed_bundle_adjust(
     num_cameras = state.rotations.shape[0]
     dtype = state.points.dtype
 
+    # Group observations by owning landmark shard (host-side, eager):
+    # row s of the (n_shards, n_max) buffers holds exactly the
+    # observations whose landmark lives on shard s, padded with
+    # valid=False slots. Deterministic numpy, so every process of a
+    # multi-host run builds identical buffers.
+    lm_np = np.asarray(obs.landmark)
+    cam_np = np.asarray(obs.camera)
+    uv_np = np.asarray(obs.uv)
+    valid_np = np.asarray(obs.valid)
+    owner = np.clip(lm_np // l_local, 0, n_shards - 1)
+    counts = np.bincount(owner[valid_np], minlength=n_shards)
+    n_max = max(int(counts.max()), 1)
+    n_max += (-n_max) % 8
+    cam_s = np.zeros((n_shards, n_max), cam_np.dtype)
+    # Padding slots point at the shard's own first landmark so
+    # lm_local stays in range (they are masked by valid anyway).
+    lm_s = np.broadcast_to(
+        (np.arange(n_shards, dtype=lm_np.dtype) * l_local)[:, None],
+        (n_shards, n_max),
+    ).copy()
+    uv_s = np.zeros((n_shards, n_max) + uv_np.shape[1:], uv_np.dtype)
+    valid_s = np.zeros((n_shards, n_max), bool)
+    for s_idx in range(n_shards):
+        idx = np.where(valid_np & (owner == s_idx))[0]
+        cam_s[s_idx, : len(idx)] = cam_np[idx]
+        lm_s[s_idx, : len(idx)] = lm_np[idx]
+        uv_s[s_idx, : len(idx)] = uv_np[idx]
+        valid_s[s_idx, : len(idx)] = True
+    if jax.process_count() > 1:
+        from .multihost import put_global
+
+        cam_s, lm_s, uv_s, valid_s = (
+            put_global(a, mesh, P(axis)) for a in (cam_s, lm_s, uv_s, valid_s)
+        )
+
     def local_residuals(rots, ts, kmat, points_local, cam, lm_local, uv, own):
         x = points_local[jnp.clip(lm_local, 0, l_local - 1)]
         res, _, _ = _obs_terms(rots, ts, kmat, x, cam, uv, own)
@@ -198,11 +238,13 @@ def distributed_bundle_adjust(
         ts_new = ts + delta_c[:, 3:]
         points_new = points_local + delta_l
 
-        # New cost (local residuals → psum).
+        # New cost (local residuals → psum). Must use the same robust
+        # cost as the single-device accept test (sfm/ba.py cost_of),
+        # else the two solvers diverge on which LM steps they accept.
         res_new = local_residuals(
             rots_new, ts_new, kmat, points_new, cam, lm_local, uv, own
         )
-        cost_new = jax.lax.psum(0.5 * jnp.sum(res_new * res_new), axis)
+        cost_new = jax.lax.psum(local_cost(res_new), axis)
 
         accept = cost_new < cost
         rots = jnp.where(accept, rots_new, rots)
@@ -215,13 +257,15 @@ def distributed_bundle_adjust(
         return points_local, rots, ts, lam, cost
 
     def run(points, rots, ts, kmat, cam, lm, uv, valid):
+        # Each device's observation block arrives as (1, n_max, ...).
+        cam, lm, uv, valid = cam[0], lm[0], uv[0], valid[0]
         # Initial cost.
         shard = jax.lax.axis_index(axis)
         offset = shard * l_local
         lm_local = lm - offset
         own = valid & (lm_local >= 0) & (lm_local < l_local)
         res0 = local_residuals(rots, ts, kmat, points, cam, lm_local, uv, own)
-        cost = jax.lax.psum(0.5 * jnp.sum(res0 * res0), axis)
+        cost = jax.lax.psum(local_cost(res0), axis)
         lam = jnp.asarray(1e-4, dtype)
         for _ in range(num_iterations):
             points, rots, ts, lam, cost = step(
@@ -234,7 +278,7 @@ def distributed_bundle_adjust(
     run_sharded = shard_map(
         run,
         mesh=mesh,
-        in_specs=(sharded, rep, rep, rep, rep, rep, rep, rep),
+        in_specs=(sharded, rep, rep, rep, sharded, sharded, sharded, sharded),
         out_specs=(sharded, rep, rep, rep),
     )
     points, rots, ts, cost = jax.jit(run_sharded)(
@@ -242,10 +286,10 @@ def distributed_bundle_adjust(
         state.rotations,
         state.translations,
         state.k_mat,
-        obs.camera,
-        obs.landmark,
-        obs.uv,
-        obs.valid,
+        cam_s,
+        lm_s,
+        uv_s,
+        valid_s,
     )
     out_state = BAState(
         rotations=rots,
