@@ -62,10 +62,12 @@ def build_pyramid_fused(
     per octave; ``scale_space`` is ``None`` when ``emit_scales=False``
     (the detect-only path — the Gaussian stacks never leave the chip,
     only DoG and each octave's seed scale are written to HBM), and
-    ``masks[o]`` is the kernel's in-VMEM 26-neighbor extrema mask
-    (``emit_masks=True``) or ``None``. Octaves whose kernel plan does
-    not fit VMEM fall back to the XLA separable path (mask ``None`` —
-    callers run the XLA extrema scan there).
+    ``masks[o]`` is the kernel's in-VMEM 26-neighbor extrema result as
+    ONE packed int32 plane ``(..., H, W)`` (2-bit code per trio; see
+    ops/pallas/octave.py) when ``emit_masks=True``, else ``None``.
+    Octaves whose kernel plan does not fit VMEM fall back to the XLA
+    separable path (mask ``None`` — callers run the XLA extrema scan
+    there).
     """
     batch_shape = images.shape[:-2]
     flat = images.reshape((-1,) + images.shape[-2:])
@@ -119,7 +121,7 @@ def build_pyramid_fused(
         dogs.append(dog.reshape(batch_shape + dog.shape[-3:]))
         masks_out.append(
             None if masks is None
-            else masks.reshape(batch_shape + masks.shape[-3:])
+            else masks.reshape(batch_shape + masks.shape[-2:])
         )
         base = downsample2x_nn(seed)
     return (scale_space if emit_scales else None), dogs, masks_out

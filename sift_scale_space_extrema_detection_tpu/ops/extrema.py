@@ -194,29 +194,40 @@ def compact_extrema(extrema: Extrema, capacity: int) -> Extrema:
     )
 
 
+def unpack_mask_codes(packed: jax.Array, n_trios: int) -> jax.Array:
+    """``(H, W)`` int32 packed 2-bit trio codes → ``(T, H, W)`` int32 0/1/2.
+
+    Inverse of the fused octave kernel's packing (ops/pallas/octave.py):
+    trio ``t`` owns bits ``[2t, 2t+2)``.
+    """
+    shifts = (2 * jnp.arange(n_trios, dtype=jnp.int32))[:, None, None]
+    return (packed[None, :, :] >> shifts) & 3
+
+
 def find_extrema_from_masks(
-    masks: jax.Array,
+    packed: jax.Array,
     dog: jax.Array,
     cfg: SiftConfig,
     capacity: int | None = None,
 ) -> Extrema:
-    """Extrema from kernel-emitted mask planes (ops/pallas/octave.py).
+    """Extrema from the kernel-emitted packed mask plane (ops/pallas/octave.py).
 
-    ``masks``: ``(T, H, W)`` f32-encoded (0 = none, 1 = candidate,
-    2 = low-contrast reject, border pre-zeroed in-kernel) as produced by
-    the fused octave kernel's in-VMEM 26-neighbor scan; ``dog``:
-    ``(D, H, W)``. Produces the same ``Extrema`` layout as
-    :func:`find_extrema` (same slot order, same counters) without
-    re-reading the DoG stack for the neighbor scan — and without the
-    interior slice (a misaligned full-plane copy on TPU): selection runs
-    over the full aligned plane, whose border the kernel already zeroed.
+    ``packed``: ``(H, W)`` int32 — trio ``t`` owns bits ``[2t, 2t+2)``
+    with code 0 = none, 1 = candidate, 2 = low-contrast reject, border
+    pre-zeroed in-kernel — as produced by the fused octave kernel's
+    in-VMEM 26-neighbor scan; ``dog``: ``(D, H, W)``. Produces the same
+    ``Extrema`` layout as :func:`find_extrema` (same slot order, same
+    counters) without re-reading the DoG stack for the neighbor scan —
+    and without the interior slice (a misaligned full-plane copy on
+    TPU): selection runs over the full aligned plane, whose border the
+    kernel already zeroed.
     """
     cap = cfg.max_keypoints_per_trio if capacity is None else capacity
     ys, xs, scale_levels, vals, valids = [], [], [], [], []
     n_cand, n_low = [], []
     for s in range(1, cfg.dog_per_octave - 1):
-        plane = masks[s - 1]
-        cand_mask = plane == 1.0
+        code = (packed >> (2 * (s - 1))) & 3
+        cand_mask = code == 1
         y, x, value, valid, total = _compact(cand_mask, dog[s], cap, offset=0)
         ys.append(y)
         xs.append(x)
@@ -224,7 +235,7 @@ def find_extrema_from_masks(
         vals.append(value)
         valids.append(valid)
         n_cand.append(total)
-        n_low.append(jnp.sum(plane == 2.0, dtype=jnp.int32))
+        n_low.append(jnp.sum(code == 2, dtype=jnp.int32))
 
     return Extrema(
         y=jnp.concatenate(ys),
@@ -238,24 +249,27 @@ def find_extrema_from_masks(
 
 
 def select_refine_candidates(
-    masks: jax.Array, dog: jax.Array, cfg: SiftConfig, capacity: int
+    packed: jax.Array, dog: jax.Array, cfg: SiftConfig, capacity: int
 ) -> Extrema:
-    """One cross-trio selection of refinement candidates from mask planes.
+    """One cross-trio selection of refinement candidates from the packed
+    mask plane.
 
     The per-trio :func:`find_extrema_from_masks` buffers exist for
     stage-3 introspection/parity; refinement only needs the first
     ``capacity`` candidates in (trio-major, row-major) order — which is
-    exactly row-major order over the stacked ``(T, H, W)`` mask volume.
-    Selecting them in ONE :func:`first_k_set_indices` pass replaces the
-    per-trio compaction + slot re-gather (``compact_extrema``) the
-    refine path used to pay for. Semantics differ from the old chain
-    only under per-trio capacity overflow (the old path clipped each
-    trio before compacting; this one applies the global budget
-    directly — strictly closer to the reference, which never drops
-    candidates, reference/background.js:433-436).
+    exactly row-major order over the unpacked ``(T, H, W)`` mask
+    volume. Selecting them in ONE :func:`first_k_set_indices` pass
+    replaces the per-trio compaction + slot re-gather
+    (``compact_extrema``) the refine path used to pay for. Semantics
+    differ from the old chain only under per-trio capacity overflow
+    (the old path clipped each trio before compacting; this one applies
+    the global budget directly — strictly closer to the reference,
+    which never drops candidates, reference/background.js:433-436).
     """
-    t, h, w = masks.shape
-    cand = masks == 1.0
+    h, w = packed.shape
+    t = cfg.dog_per_octave - 2
+    codes = unpack_mask_codes(packed, t)
+    cand = codes == 1
     idx, valid, _ = first_k_set_indices(cand.reshape(-1), capacity)
     plane = h * w
     trio = idx // plane
@@ -270,13 +284,10 @@ def select_refine_candidates(
     value = dog.reshape(-1)[scale_level * plane + y * w + x]
     # Per-trio counters mirror the reference's accounting
     # (reference/background.js:433-436; SURVEY.md §5.5) — candidates
-    # beyond capacity stay observable through them.
-    n_cand = jnp.stack(
-        [jnp.sum(cand[i], dtype=jnp.int32) for i in range(t)]
-    )
-    n_low = jnp.stack(
-        [jnp.sum(masks[i] == 2.0, dtype=jnp.int32) for i in range(t)]
-    )
+    # beyond capacity stay observable through them. One fused pass over
+    # the unpacked codes yields both counter vectors.
+    n_cand = jnp.sum(cand, axis=(1, 2), dtype=jnp.int32)
+    n_low = jnp.sum(codes == 2, axis=(1, 2), dtype=jnp.int32)
     return Extrema(
         y=y.astype(jnp.int32),
         x=x.astype(jnp.int32),

@@ -27,11 +27,16 @@ base image:
   scan (reference/src/sift.js:212-316) while the DoG planes sit in
   VMEM: each scale is blurred on a 1-pixel halo ``(tile_h+2, w+2)``
   window, per-plane separable 3-column min/max rows are shared across
-  trios, and one encoded f32 mask plane per trio is emitted
-  (0 = not extremum, 1 = candidate, 2 = low-contrast reject,
-  reference/src/sift.js:285-307). This removes the entire XLA
+  trios, and ONE packed int32 mask plane is emitted for the whole
+  octave — trio ``t`` owns bits ``[2t, 2t+2)`` with code 0 = not
+  extremum, 1 = candidate, 2 = low-contrast reject
+  (reference/src/sift.js:285-307). This removes the entire XLA
   re-read + shifted-slice mask pass (measured ~300 ms of the 64-image
-  frontend batch vs ~5 ms of extra mask traffic here).
+  frontend batch), and packing all T trios into one plane instead of
+  T f32 planes cuts the kernel's write traffic by T−1 planes/octave
+  and the selection pass's read by ~4× (the detect path is
+  write-bandwidth-bound; at the bench config the masks were 5 of 13
+  written planes per octave).
 - ``emit_scales=False`` (the detect-only path: reference stages 3–4
   need only DoG) skips writing the Gaussian stack to HBM entirely —
   only DoG and the next octave's seed scale (index ``spo``,
@@ -125,8 +130,7 @@ def fused_octave_supported(
     if not radii:
         return False
     n_scales = len(sigmas)
-    n_trios = n_scales - 3 if emit_masks else 0
-    n_planes = n_scales + (n_scales - 1) + 1 + n_trios
+    n_planes = n_scales + (n_scales - 1) + 1 + (1 if emit_masks else 0)
     n_halo = (n_scales - 1) if emit_masks else 0
     return _plan(h, w, radii, n_planes, n_halo) is not None
 
@@ -230,6 +234,19 @@ def _octave_kernel(
     def col3(rm, lo):
         return lo(lo(rm[0:tile_h], rm[1 : 1 + tile_h]), rm[2 : 2 + tile_h])
 
+    # Zero the image border in-kernel (the scan covers interior
+    # pixels only, reference/src/sift.js:221-222) so consumers can
+    # select over the FULL aligned plane — the XLA-side interior
+    # slice was a misaligned 2 GB copy per batch.
+    y_glob = (
+        pl.program_id(1) * tile_h
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+    )
+    x_glob = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
+    interior = (
+        (y_glob >= 1) & (y_glob <= h - 2) & (x_glob >= 1) & (x_glob <= w - 2)
+    )
+    packed = jnp.zeros((tile_h, w), jnp.int32)
     for t, s in enumerate(range(1, len(dogs) - 1)):
         center = dogs[s][1 : 1 + tile_h, 1 : 1 + w]
         # Ring (8-neighbor) min/max of the center plane: top/bottom rows
@@ -257,21 +274,14 @@ def _octave_kernel(
         )
         is_ext = (center > nb_max) | (center < nb_min)
         passes = jnp.abs(center) >= contrast_thr
-        # Zero the image border in-kernel (the scan covers interior
-        # pixels only, reference/src/sift.js:221-222) so consumers can
-        # select over the FULL aligned plane — the XLA-side interior
-        # slice was a misaligned 2 GB copy per batch.
-        y_glob = (
-            pl.program_id(1) * tile_h
-            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+        # Trio t's 2-bit code, packed into one int32 plane.
+        code = jnp.where(
+            is_ext & interior,
+            jnp.where(passes, jnp.int32(1), jnp.int32(2)),
+            jnp.int32(0),
         )
-        x_glob = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
-        interior = (
-            (y_glob >= 1) & (y_glob <= h - 2) & (x_glob >= 1) & (x_glob <= w - 2)
-        )
-        masks_ref[0, t] = jnp.where(
-            is_ext & interior, jnp.where(passes, 1.0, 2.0), 0.0
-        ).astype(center.dtype)
+        packed = packed | (code << (2 * t))
+    masks_ref[0, 0] = packed
 
 
 def fused_octave(
@@ -291,17 +301,20 @@ def fused_octave(
     base plane. Returns ``(scales, dog, seed, masks)`` with ``scales``
     of shape ``(B, S, H, W)`` (or ``None`` when ``emit_scales=False``),
     ``dog`` ``(B, S-1, H, W)``, ``seed = scales[:, spo]`` ``(B, H, W)``,
-    and ``masks`` ``(B, T, H, W)`` f32-encoded (0/1/2; trios centered at
-    DoG scale 1..S-3) or ``None`` when ``emit_masks=False``. Mask
-    pixels are valid over the image interior only (callers slice
-    ``[1:h-1, 1:w-1]``, reference/src/sift.js:221-222).
+    and ``masks`` ``(B, H, W)`` int32 — trio ``t`` (centered at DoG
+    scale ``t+1``) owns bits ``[2t, 2t+2)`` with code 0 = none,
+    1 = candidate, 2 = low-contrast reject — or ``None`` when
+    ``emit_masks=False``. Mask pixels are valid over the image interior
+    only; the kernel zeroes the border (reference/src/sift.js:221-222).
     """
     b, h, w = base.shape
     n_scales = len(sigmas)
     radii = [kernel_radius(s) for s in sigmas if s is not None]
-    n_trios = n_scales - 3 if emit_masks else 0
     n_out_planes = (
-        (n_scales if emit_scales else 0) + (n_scales - 1) + 1 + n_trios
+        (n_scales if emit_scales else 0)
+        + (n_scales - 1)
+        + 1
+        + (1 if emit_masks else 0)
     )
     n_halo = (n_scales - 1) if emit_masks else 0
     plan = _plan(h, w, radii, n_out_planes, n_halo)
@@ -366,12 +379,10 @@ def fused_octave(
         )
     )
     if emit_masks:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((b, n_trios, hout, w), base.dtype)
-        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1, hout, w), jnp.int32))
         out_specs.append(
             pl.BlockSpec(
-                (1, n_trios, tile_h, w),
+                (1, 1, tile_h, w),
                 lambda bi, si: (bi, 0, si, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -395,7 +406,7 @@ def fused_octave(
         if taps is not None:
             flops += 2 * 2 * len(taps) * h * w * b
     if emit_masks:
-        flops += 40 * n_trios * h * w * b
+        flops += 40 * (n_scales - 3) * h * w * b
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_stripes),
@@ -415,7 +426,7 @@ def fused_octave(
     )(padded)
 
     outs = list(outs)
-    masks = outs.pop()[:, :, :h, :] if emit_masks else None
+    masks = outs.pop()[:, 0, :h, :] if emit_masks else None
     seed = outs.pop()[:, 0, :h, :]
     dog = outs.pop()[:, :, :h, :]
     scales = outs.pop()[:, :, :h, :] if emit_scales else None

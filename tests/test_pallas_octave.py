@@ -143,16 +143,18 @@ def test_fused_octave_masks_match_xla_scan():
         contrast_thr=cfg.contrast_prefilter_threshold,
         interpret=True,
     )
-    assert masks.shape == (2, cfg.scales_per_octave, 40, 56)
+    assert masks.shape == (2, 40, 56)
+    assert masks.dtype == jnp.int32
 
     for b in range(2):
         d = dog[b]
         min3, max3 = _neighborhood_min_max(d)
         for s in range(1, cfg.dog_per_octave - 1):
             cand, low = _trio_masks(d, min3, max3, s, cfg)
-            got = np.asarray(masks[b, s - 1, 1:-1, 1:-1])
-            np.testing.assert_array_equal(got == 1.0, np.asarray(cand))
-            np.testing.assert_array_equal(got == 2.0, np.asarray(low))
+            code = (np.asarray(masks[b]) >> (2 * (s - 1))) & 3
+            got = code[1:-1, 1:-1]
+            np.testing.assert_array_equal(got == 1, np.asarray(cand))
+            np.testing.assert_array_equal(got == 2, np.asarray(low))
 
         # And the Extrema built from masks equals the XLA-scan Extrema.
         e_ref = find_extrema(d, cfg, 64)
