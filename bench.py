@@ -44,6 +44,29 @@ def _make_batch(batch: int, h: int, w: int) -> np.ndarray:
 
 
 def main() -> None:
+    import os
+    import sys
+    import threading
+
+    # Watchdog: initializing the tunneled axon backend blocks forever
+    # (not an exception) when the relay's TPU leg is down — observed
+    # 2026-08-18. Fail loudly after 15 min instead of hanging the
+    # driver; warmup (backend init + first compile) normally takes
+    # 2-4 min.
+    warmed = threading.Event()
+
+    def _watchdog() -> None:
+        if not warmed.wait(900):
+            print(
+                "bench.py: TPU backend init/compile did not complete "
+                "within 900 s — the axon tunnel is likely down; aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     # Persistent compilation cache: first-compile through the tunneled
@@ -75,6 +98,7 @@ def main() -> None:
     blur = "fused"
     keypoints, _ = detect_batched_jit(images, cfg, blur)
     sync(keypoints)
+    warmed.set()
 
     # Sustained throughput: dispatch all iterations back-to-back, then
     # force a host transfer of every result. A per-iteration sync adds
