@@ -91,12 +91,21 @@ def main() -> None:
     ap.add_argument(
         "--breakdown", action="store_true", help="per-stage timing (dense)"
     )
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the axon sitecustomize overrides "
+        "JAX_PLATFORMS=cpu, so an env var alone cannot)",
+    )
     args = ap.parse_args()
     if args.large:
         args.cams, args.pts, args.obs_per_cam = 1000, 100_000, 300
         args.solver = "cg"
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
