@@ -248,6 +248,76 @@ def find_extrema_from_masks(
     )
 
 
+def _first_k_candidates_packed(
+    packed: jax.Array, n_trios: int, capacity: int
+):
+    """First-k candidate selection directly from the packed mask plane.
+
+    Equivalent to :func:`first_k_set_indices` over the flattened
+    unpacked ``(T, H, W)`` candidate mask, but never materializes the
+    bool volume: per-row set-bit counts come from a fused decode+reduce
+    over the packed plane, and the final lane query gathers 128-lane
+    rows of the packed plane itself and decodes them in-register.
+    Requires ``128 | H*W`` (every 128-lane row then lies inside one
+    trio). Returns ``(idx, valid, n_cand (T,), n_low (T,))`` — the
+    per-trio candidate/low-contrast counters are free by-products of
+    the same counting pass.
+    """
+    h, w = packed.shape
+    hw = h * w
+    lanes = 128
+    r_plane = hw // lanes
+    pk = packed.reshape(r_plane, lanes)
+    shifts = (2 * jnp.arange(n_trios, dtype=jnp.int32))[:, None, None]
+    # (T, R, 128) decode fuses into the two reductions below — nothing
+    # T*H*W-sized is written to HBM.
+    codes = (pk[None] >> shifts) & 3
+    cand_rows = jnp.sum(codes == 1, axis=-1, dtype=jnp.int32)  # (T, R)
+    low_rows = jnp.sum(codes == 2, axis=-1, dtype=jnp.int32)
+    n_cand = jnp.sum(cand_rows, axis=-1)
+    n_low = jnp.sum(low_rows, axis=-1)
+
+    # Hierarchical rank queries over the per-row counts (same scheme as
+    # first_k_set_indices, with the row dimension spanning all trios:
+    # global row r = trio * R + plane_row, so ascending r IS the
+    # (trio-major, row-major) reference emission order).
+    rows = n_trios * r_plane
+    g = min(rows, max(8, 1 << (max(rows, 1) - 1).bit_length() // 2))
+    s = -(-rows // g)
+    lane_count = cand_rows.reshape(-1)
+    pad = s * g - rows
+    if pad:
+        lane_count = jnp.pad(lane_count, (0, pad))
+    lane_count = lane_count.reshape(s, g)
+    g_incl = jnp.cumsum(lane_count, axis=1)
+    s_total = g_incl[:, -1]
+    s_incl = jnp.cumsum(s_total)
+    s_excl = s_incl - s_total
+    total = s_incl[-1]
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
+    valid = j < total
+    s_j = jnp.sum(s_incl[None, :] <= j[:, None], axis=1, dtype=jnp.int32)
+    s_safe = jnp.minimum(s_j, s - 1)
+    local_j = j - s_excl[s_safe]
+    g_rows = g_incl[s_safe]
+    g_j = jnp.sum(g_rows <= local_j[:, None], axis=1, dtype=jnp.int32)
+    g_safe = jnp.minimum(g_j, g - 1)
+    row_excl = (
+        g_rows[jnp.arange(capacity), g_safe] - lane_count[s_safe, g_safe]
+    )
+    lane_j = local_j - row_excl
+    r_glob = jnp.minimum(s_safe * g + g_safe, rows - 1)  # clip off padding
+    trio = r_glob // r_plane
+    prow = r_glob - trio * r_plane
+    row_bits = ((pk[prow] >> (2 * trio)[:, None]) & 3) == 1  # (capacity, 128)
+    lane_incl = jnp.cumsum(row_bits.astype(jnp.int32), axis=1)
+    lane = jnp.sum(lane_incl <= lane_j[:, None], axis=1, dtype=jnp.int32)
+    lane = jnp.minimum(lane, lanes - 1)
+    idx = r_glob * lanes + lane
+    return jnp.where(valid, idx, 0), valid, n_cand, n_low
+
+
 def select_refine_candidates(
     packed: jax.Array, dog: jax.Array, cfg: SiftConfig, capacity: int
 ) -> Extrema:
@@ -268,10 +338,20 @@ def select_refine_candidates(
     """
     h, w = packed.shape
     t = cfg.dog_per_octave - 2
-    codes = unpack_mask_codes(packed, t)
-    cand = codes == 1
-    idx, valid, _ = first_k_set_indices(cand.reshape(-1), capacity)
     plane = h * w
+    if plane % 128 == 0:
+        # Fast path: select straight from the packed plane (no unpacked
+        # bool volume in HBM); counters fall out of the same pass.
+        idx, valid, n_cand, n_low = _first_k_candidates_packed(
+            packed, t, capacity
+        )
+    else:
+        codes = unpack_mask_codes(packed, t)
+        idx, valid, _ = first_k_set_indices(
+            (codes == 1).reshape(-1), capacity
+        )
+        n_cand = jnp.sum(codes == 1, axis=(1, 2), dtype=jnp.int32)
+        n_low = jnp.sum(codes == 2, axis=(1, 2), dtype=jnp.int32)
     trio = idx // plane
     rem = idx - trio * plane
     y = rem // w
@@ -282,12 +362,9 @@ def select_refine_candidates(
     x = jnp.where(valid, x, 1)
     scale_level = jnp.where(valid, scale_level, 1)
     value = dog.reshape(-1)[scale_level * plane + y * w + x]
-    # Per-trio counters mirror the reference's accounting
+    # The per-trio counters mirror the reference's accounting
     # (reference/background.js:433-436; SURVEY.md §5.5) — candidates
-    # beyond capacity stay observable through them. One fused pass over
-    # the unpacked codes yields both counter vectors.
-    n_cand = jnp.sum(cand, axis=(1, 2), dtype=jnp.int32)
-    n_low = jnp.sum(codes == 2, axis=(1, 2), dtype=jnp.int32)
+    # beyond capacity stay observable through them.
     return Extrema(
         y=y.astype(jnp.int32),
         x=x.astype(jnp.int32),
