@@ -116,6 +116,65 @@ def test_build_pyramid_fused_detect_only_path():
         )
 
 
+def test_fused_detect_path_matches_separable_end_to_end():
+    """Full detect via kernel masks + packed selection == XLA pipeline.
+
+    Integration cover for the production detect path (fused kernel →
+    packed int32 mask plane → packed-plane candidate selection →
+    refinement): keypoint sets and the per-trio rejection counters must
+    match the plain separable XLA path (coordinates to fp tolerance —
+    the two blur implementations differ in tap order).
+    """
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        build_pyramid_fused,
+        detect,
+        detect_from_dog,
+    )
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (
+        0.4
+        + 0.25 * np.sin(xx / 5) * np.cos(yy / 7)
+        + 0.3 * np.exp(-((yy - 32) ** 2 + (xx - 32) ** 2) / 30.0)
+    )
+    img = np.clip(img + 0.04 * rng.standard_normal((64, 64)), 0, 1)
+    img = jnp.asarray(img.astype(np.float32))
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
+
+    _, dog_f, masks_f = build_pyramid_fused(
+        img, cfg, emit_scales=False, emit_masks=True, interpret=True
+    )
+    kp_f, ex_f = detect_from_dog(dog_f, cfg, masks_f)
+    kp_s, ex_s = detect(img, cfg, blur="separable")
+
+    vf, vs = np.asarray(kp_f.valid), np.asarray(kp_s.valid)
+    assert vf.sum() == vs.sum() > 0
+    set_f = set(
+        zip(
+            np.asarray(kp_f.octave)[vf],
+            np.asarray(kp_f.abs_x)[vf].round(3),
+            np.asarray(kp_f.abs_y)[vf].round(3),
+        )
+    )
+    set_s = set(
+        zip(
+            np.asarray(kp_s.octave)[vs],
+            np.asarray(kp_s.abs_x)[vs].round(3),
+            np.asarray(kp_s.abs_y)[vs].round(3),
+        )
+    )
+    assert set_f == set_s
+    for ef, es in zip(ex_f, ex_s):
+        np.testing.assert_array_equal(
+            np.asarray(ef.num_candidates), np.asarray(es.num_candidates)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ef.num_low_contrast),
+            np.asarray(es.num_low_contrast),
+        )
+
+
 def test_fused_octave_masks_match_xla_scan():
     """In-kernel extrema masks == XLA scan masks on the same DoG."""
     from sift_scale_space_extrema_detection_tpu.ops.extrema import (
