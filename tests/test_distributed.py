@@ -53,6 +53,38 @@ def test_distributed_ba_matches_single_device(mesh):
     assert abs(float(cost_d) - float(cost_s)) < 1e-6 * max(1.0, float(cost_s))
 
 
+def test_distributed_ba_huber_matches_single_device(mesh):
+    """Robust (Huber) path: same IRLS weights AND same accept-test cost.
+
+    The LM accept test must compare Huber costs on both solvers — a
+    plain-squared accept test on the distributed side accepted
+    different step sequences and diverged from the single-device
+    result.
+    """
+    rng = np.random.default_rng(4)
+    truth, obs = make_scene(rng, n_cams=5, n_pts=96, noise_px=0.3)
+    # Inject gross outliers so the robust weighting actually matters.
+    uv = np.array(obs.uv)
+    n_out = 40
+    sel = rng.choice(np.flatnonzero(np.asarray(obs.valid)), n_out, False)
+    uv[sel] += rng.normal(0, 40.0, size=(n_out, 2))
+    obs = obs.replace(uv=jnp.asarray(uv))
+    init = perturb(rng, truth)
+
+    single, cost_s = bundle_adjust(
+        init, obs, num_iterations=10, huber_delta=2.0
+    )
+    dist, cost_d = distributed_bundle_adjust(
+        init, obs, mesh, num_iterations=10, huber_delta=2.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.translations),
+        np.asarray(single.translations),
+        atol=1e-5,
+    )
+    assert abs(float(cost_d) - float(cost_s)) < 1e-5 * max(1.0, float(cost_s))
+
+
 def test_distributed_ba_converges(mesh):
     rng = np.random.default_rng(1)
     truth, obs = make_scene(rng, n_cams=6, n_pts=120, noise_px=0.0)
