@@ -37,3 +37,33 @@ def load_image_gray(path: str, dtype=np.float64) -> np.ndarray:
     with Image.open(path) as img:
         rgb = np.asarray(img.convert("RGB"))
     return rgb_to_gray(rgb, dtype=dtype)
+
+
+def pad_to_tpu_friendly(
+    images: np.ndarray, h_multiple: int = 32, w_multiple: int = 64
+) -> np.ndarray:
+    """Edge-pad ``(..., H, W)`` images bottom/right to TPU-friendly dims.
+
+    Real dataset frames (KITTI is 1241×376) hit none of the aligned fast
+    paths: the fused octave kernel wants lane-aligned planes and the
+    packed candidate selection wants every octave plane size divisible
+    by 128 (ops/extrema.py::select_refine_candidates). Padding H to a
+    multiple of 32 and W to a multiple of 64 guarantees
+    ``(2H/2^o)·(2W/2^o) % 128 == 0`` for the first four octaves.
+
+    Edge replication is semantically transparent to the pipeline's blur:
+    the reference's border rule is clamp-to-edge sampling
+    (reference/src/sift.js:116-119), so blurred values over the original
+    image area are unchanged. The only behavioral delta is at the old
+    bottom/right border rows/cols, which become interior to the extrema
+    scan (flat replicated texture there produces near-zero DoG, so the
+    contrast gate rejects it). Intrinsics are unaffected (no shift of
+    the principal point — padding is bottom/right only).
+    """
+    h, w = images.shape[-2], images.shape[-1]
+    ph = (-h) % h_multiple
+    pw = (-w) % w_multiple
+    if not ph and not pw:
+        return images
+    pad = [(0, 0)] * (images.ndim - 2) + [(0, ph), (0, pw)]
+    return np.pad(images, pad, mode="edge")

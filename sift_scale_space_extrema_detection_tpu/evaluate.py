@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity", type=int, default=512, help="max keypoints per trio")
     p.add_argument("--match-ratio", type=float, default=0.9)
     p.add_argument("--ba-interval", type=int, default=5)
+    p.add_argument(
+        "--no-pad",
+        action="store_true",
+        help="skip TPU-friendly edge padding of the frames (core/image.py)",
+    )
     return p
 
 
@@ -73,9 +78,23 @@ def main(argv=None) -> int:
         )
     images = seq.load_images()
     t_load = time.perf_counter() - t0
+    orig_hw = images.shape[1:3]
+    if not args.no_pad:
+        # Real dataset dims (KITTI 1241x376) miss every aligned fast
+        # path; bottom/right edge padding is transparent to the blur
+        # (clamp-to-edge border rule) and to the intrinsics.
+        from .core.image import pad_to_tpu_friendly
+
+        images = pad_to_tpu_friendly(images)
     print(
         f"{fmt}: {len(seq.image_paths)} frames "
-        f"{images.shape[2]}x{images.shape[1]}, loaded in {t_load:.2f}s"
+        f"{orig_hw[1]}x{orig_hw[0]}"
+        + (
+            f" (padded to {images.shape[2]}x{images.shape[1]})"
+            if images.shape[1:3] != orig_hw
+            else ""
+        )
+        + f", loaded in {t_load:.2f}s"
     )
 
     from . import SiftConfig

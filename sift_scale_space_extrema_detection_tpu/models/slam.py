@@ -50,13 +50,17 @@ class SlamConfig:
     ransac_threshold_px: float = 1.5
     min_triangulation_deg: float = 1.0  # parallax gate for new landmarks
     # Pose-graph step before the final BA: odometry edges between
-    # consecutive frames plus "loop" edges between distant frame pairs
-    # that co-observe enough landmarks. Redundant when global BA is
+    # consecutive frames plus loop-closure edges between distant frame
+    # pairs that co-observe enough landmarks. Loop edges are MEASURED —
+    # a fresh essential-matrix RANSAC over the pair's co-observed pixels
+    # (see measure_loop_edge), independent of the drifting estimates
+    # except for the monocular scale. Redundant when global BA is
     # affordable (our default), decisive when it is not — kept as the
     # standard SLAM backend layer (BASELINE.json config[4]).
     use_pose_graph: bool = False
     loop_min_covisible: int = 12
     loop_min_frame_gap: int = 5
+    loop_max_edges: int = 16  # highest-covisibility pairs get fresh solves
 
 
 @dataclasses.dataclass
@@ -79,6 +83,57 @@ def _pad_obs(cam, lm, uv, valid):
         uv=jnp.asarray(np.pad(uv, ((0, pad), (0, 0)))),
         valid=jnp.asarray(np.pad(valid, (0, pad))),
     )
+
+
+def measure_loop_edge(
+    pixels: np.ndarray,
+    visible: np.ndarray,
+    k_mat: np.ndarray,
+    est_r: np.ndarray,
+    est_t: np.ndarray,
+    frame_a: int,
+    frame_b: int,
+    cfg: SlamConfig,
+):
+    """Fresh two-view relative-pose measurement for a loop edge a→b.
+
+    Real loop closure re-measures the relative pose of the revisit pair
+    instead of copying it from the drifted estimates: essential-matrix
+    RANSAC over the pair's co-observed pixel rays yields the relative
+    rotation and translation *direction* independently of the trajectory
+    estimate; only the monocular scale (unobservable from two views) is
+    borrowed from the current estimate's baseline. Returns
+    ``(rel_r (3,3), rel_t (3,))`` in the pose-graph edge convention
+    (``T_b ≈ T_ab ∘ T_a`` for world→camera poses), or ``None`` when the
+    pair has too few co-observations or RANSAC support.
+    """
+    ids = np.where(visible[frame_a] & visible[frame_b])[0]
+    min_pts = max(8, cfg.loop_min_covisible)
+    if len(ids) < min_pts:
+        return None
+    k_jnp = jnp.asarray(k_mat)
+    fx = float(k_mat[0, 0])
+    rays_a = np.asarray(geo.backproject(jnp.asarray(pixels[frame_a, ids]), k_jnp))
+    rays_b = np.asarray(geo.backproject(jnp.asarray(pixels[frame_b, ids]), k_jnp))
+    cap = 1 << max(6, (len(ids) - 1).bit_length())
+    pad = cap - len(ids)
+    res = estimate_essential_ransac(
+        jnp.asarray(np.pad(rays_a, ((0, pad), (0, 0))), jnp.float32),
+        jnp.asarray(np.pad(rays_b, ((0, pad), (0, 0))), jnp.float32),
+        jnp.asarray(np.arange(cap) < len(ids)),
+        jax.random.PRNGKey(frame_a * 100_003 + frame_b),
+        num_hypotheses=cfg.ransac_hypotheses,
+        inlier_threshold=cfg.ransac_threshold_px / fx,
+    )
+    if int(res.num_inliers) < min_pts // 2:
+        return None
+    rel_r = np.asarray(res.rotation, np.float64)
+    t_dir = np.asarray(res.translation, np.float64)
+    # Monocular two-view geometry fixes only the translation direction
+    # (cheirality fixes its sign); the scale comes from the estimated
+    # baseline of the pair — the one quantity a loop edge cannot measure.
+    rel_t_est = est_t[frame_b] - (est_r[frame_b] @ est_r[frame_a].T) @ est_t[frame_a]
+    return rel_r, t_dir * float(np.linalg.norm(rel_t_est))
 
 
 def run_slam(
@@ -355,11 +410,13 @@ def run_slam(
     if cfg.use_pose_graph and num_frames >= 3:
         from ..sfm.pose_graph import PoseGraphEdges, optimize_pose_graph
 
-        # Odometry edges from the current estimates; loop edges between
-        # distant co-observing frame pairs (their relative pose is also
-        # taken from the estimates — with real loop closures this would
-        # come from a fresh two-view solve; the graph structure is what
-        # redistributes drift).
+        # Odometry edges carry the BA-refined consecutive relative poses
+        # (the "odometry measurement" of this pipeline). Loop edges are
+        # MEASURED: the highest-covisibility distant pairs each get a
+        # fresh essential-matrix RANSAC solve over their co-observed
+        # pixels (measure_loop_edge) — rotation and translation
+        # direction come from the images, only the monocular scale from
+        # the estimate.
         src, dst, rel_r, rel_t, wgt = [], [], [], [], []
 
         def add_edge(a, b, weight):
@@ -374,10 +431,24 @@ def run_slam(
         for f in range(num_frames - 1):
             add_edge(f, f + 1, 1.0)
         covis = visible.astype(np.int32) @ visible.astype(np.int32).T
-        for a in range(num_frames):
-            for b in range(a + cfg.loop_min_frame_gap, num_frames):
-                if covis[a, b] >= cfg.loop_min_covisible:
-                    add_edge(a, b, 0.5)
+        pairs = [
+            (int(covis[a, b]), a, b)
+            for a in range(num_frames)
+            for b in range(a + cfg.loop_min_frame_gap, num_frames)
+            if covis[a, b] >= cfg.loop_min_covisible
+        ]
+        pairs.sort(reverse=True)
+        for _, a, b in pairs[: cfg.loop_max_edges]:
+            edge = measure_loop_edge(
+                pixels, visible, k_mat, est_r, est_t, a, b, cfg
+            )
+            if edge is None:
+                continue
+            src.append(a)
+            dst.append(b)
+            rel_r.append(edge[0])
+            rel_t.append(edge[1])
+            wgt.append(0.5)
 
         edges = PoseGraphEdges(
             src=jnp.asarray(src, jnp.int32),

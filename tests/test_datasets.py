@@ -168,3 +168,43 @@ def test_evaluate_cli_end_to_end(tmp_path, capsys):
     assert metrics["ate_rmse"] < 0.25  # ~2-unit trajectory; wrong-K slack
     ts_read, _, _ = read_tum_trajectory(traj)
     assert len(ts_read) == n
+
+
+def test_pad_to_tpu_friendly_kitti_dims():
+    """KITTI-sized frames pad to aligned dims; blur over the original
+    area is unchanged (edge replication == the reference's
+    clamp-to-edge border rule, reference/src/sift.js:116-119)."""
+    from sift_scale_space_extrema_detection_tpu.core.image import (
+        pad_to_tpu_friendly,
+    )
+    from sift_scale_space_extrema_detection_tpu.ops.gaussian import (
+        blur_separable,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 376, 1241))
+    padded = pad_to_tpu_friendly(imgs)
+    assert padded.shape == (2, 384, 1280)
+    # Every plane of the first four octaves (2x upsampled base) is
+    # 128-divisible -> the packed-selection fast path applies.
+    h, w = 2 * 384, 2 * 1280
+    for _ in range(4):
+        assert (h * w) % 128 == 0
+        h //= 2
+        w //= 2
+    # Bottom/right replication only; original pixels untouched.
+    np.testing.assert_array_equal(padded[:, :376, :1241], imgs)
+    np.testing.assert_array_equal(padded[:, 380, :1241], imgs[:, 375])
+    np.testing.assert_array_equal(padded[:, :376, 1270], imgs[:, :, 1240])
+    # Blur equality over the original area.
+    small = imgs[0, :40, :37]
+    blurred = np.asarray(blur_separable(jnp.asarray(small), 1.3))
+    blurred_pad = np.asarray(
+        blur_separable(jnp.asarray(pad_to_tpu_friendly(small, 16, 16)), 1.3)
+    )
+    np.testing.assert_allclose(
+        blurred_pad[:40, :37], blurred, rtol=0, atol=1e-12
+    )
+    # Aligned input is returned untouched (no copy, no new array).
+    aligned = rng.random((64, 128))
+    assert pad_to_tpu_friendly(aligned) is aligned

@@ -7,6 +7,7 @@ import pytest
 from sift_scale_space_extrema_detection_tpu.models.slam import (
     SlamConfig,
     evaluate_ate,
+    measure_loop_edge,
     run_slam,
 )
 from sift_scale_space_extrema_detection_tpu.sfm.evaluate import (
@@ -80,6 +81,47 @@ def test_slam_with_pose_graph_step():
     )
     ate = evaluate_ate(result, seq.rotations, seq.translations)
     assert ate < 0.1, f"ATE {ate:.4f}"
+
+
+def test_loop_edge_measurement_matches_ground_truth():
+    """Loop edges are measured, not copied from the estimates.
+
+    measure_loop_edge solves a fresh essential-matrix RANSAC over the
+    pair's co-observed pixels; on a near-noiseless sequence the measured
+    relative rotation and translation direction must match the
+    ground-truth relative pose — independent of whatever trajectory
+    estimate supplies the monocular scale.
+    """
+    rng = np.random.default_rng(7)
+    seq = orbit_sequence(rng, num_frames=12, num_landmarks=200, noise_px=0.1)
+    a, b = 2, 9
+    edge = measure_loop_edge(
+        seq.pixels,
+        seq.visible,
+        seq.k_mat,
+        seq.rotations,
+        seq.translations,
+        a,
+        b,
+        SlamConfig(),
+    )
+    assert edge is not None, "loop pair with full covisibility must measure"
+    rel_r, rel_t = edge
+    gt_r = seq.rotations[b] @ seq.rotations[a].T
+    gt_t = seq.translations[b] - gt_r @ seq.translations[a]
+    # Rotation error as an angle.
+    cos_ang = (np.trace(rel_r @ gt_r.T) - 1.0) / 2.0
+    ang_deg = np.degrees(np.arccos(np.clip(cos_ang, -1.0, 1.0)))
+    assert ang_deg < 1.0, f"loop rotation off by {ang_deg:.2f} deg"
+    # Translation: direction from the images, magnitude from the scale
+    # source (here ground truth, so both should match).
+    cos_dir = np.dot(rel_t, gt_t) / (
+        np.linalg.norm(rel_t) * np.linalg.norm(gt_t)
+    )
+    assert cos_dir > 0.999, f"loop translation direction cos {cos_dir:.4f}"
+    np.testing.assert_allclose(
+        np.linalg.norm(rel_t), np.linalg.norm(gt_t), rtol=1e-6
+    )
 
 
 def test_slam_checkpoint_resume_matches_uninterrupted(tmp_path):
