@@ -18,11 +18,12 @@ Traffic model for the detect path (per octave, B images of H x W f32,
 S scales, T = S-3 mask trios): the kernel reads each input stripe once
 with halo overlap (~1.05x the base plane), writes S-1 DoG planes, one
 seed plane, and ONE packed int32 mask plane (2-bit code per trio); the
-XLA-side selection then re-reads the packed plane and materializes an
-unpacked (T, H, W) bool volume (~T/4 plane-equivalents written + read;
-the DoG value gather is ~capacity-sized, negligible). Octave o has
-4^-o as many pixels; the 2x-upsampled base doubles the octave-0 linear
-dims (reference/background.js:84).
+XLA-side selection re-reads the packed plane once (the candidate picks
+decode it in-register — ops/extrema.py::_first_k_candidates_packed —
+so no unpacked bool volume exists; the DoG value gather is
+~capacity-sized, negligible). Octave o has 4^-o as many pixels; the
+2x-upsampled base doubles the octave-0 linear dims
+(reference/background.js:84).
 """
 
 from __future__ import annotations
@@ -67,14 +68,13 @@ def detect_traffic_bytes(batch: int, h: int, w: int, cfg) -> int:
     total = 0
     bh, bw = 2 * h, 2 * w  # 2x NN upsample (reference/background.js:84)
     s = cfg.scales_per_octave_total
-    t = cfg.trios_per_octave
     for _ in range(cfg.num_octaves):
         plane = 4 * batch * bh * bw
         read_base = int(1.05 * plane)  # stripe halo overlap ~5%
         write = (s - 1 + 1 + 1) * plane  # DoG + seed + packed mask
-        # Selection: read packed plane + write/read the unpacked
-        # (T, H, W) bool volume (1 byte/px = t/4 plane-equivalents).
-        reread = plane + 2 * (t * plane) // 4
+        # Selection: one re-read of the packed plane (candidates decode
+        # from it in-register; no unpacked volume is materialized).
+        reread = plane
         total += read_base + write + reread
         bh //= 2
         bw //= 2

@@ -78,12 +78,20 @@ def associate(
     accepted greedily, each stream index used at most once. Returns
     ``(idx_a, idx_b)`` index arrays sorted by stream-a timestamp.
     """
+    # ALL candidate pairs within the window enter the greedy pass (the
+    # official associate.py enumerates every (a, b) combination): an
+    # ``a`` whose nearest ``b`` is claimed by a closer ``a`` must fall
+    # back to its second-nearest, not drop out.
+    order = np.argsort(stamps_b, kind="stable")
+    sb = stamps_b[order] + offset
     pairs = []
     for i, ta in enumerate(stamps_a):
-        diffs = np.abs(stamps_b + offset - ta)
-        j = int(np.argmin(diffs)) if len(stamps_b) else -1
-        if j >= 0 and diffs[j] < max_difference:
-            pairs.append((float(diffs[j]), i, j))
+        lo = int(np.searchsorted(sb, ta - max_difference, side="left"))
+        hi = int(np.searchsorted(sb, ta + max_difference, side="right"))
+        for k in range(lo, hi):
+            d = float(abs(sb[k] - ta))
+            if d < max_difference:
+                pairs.append((d, i, int(order[k])))
     pairs.sort()
     used_a, used_b, out = set(), set(), []
     for _, i, j in pairs:

@@ -555,15 +555,24 @@ def build_tracks_from_images(
         )
         chunk = frontend_chunk
     num_frames_total = images.shape[0]
+    n_dev = mesh.devices.size if mesh is not None else 1
     parts = []
     for lo in range(0, num_frames_total, chunk):
         part = np.asarray(images[lo : lo + chunk], np.float32)
-        pad = chunk - part.shape[0]
-        if pad and len(parts):  # tail: pad to reuse the compiled shape
+        n_part = part.shape[0]
+        if len(parts):  # tail: pad to reuse the compiled shape
+            target = chunk
+        else:
+            # First (possibly only) chunk: no padding needed off-mesh,
+            # but a mesh shards the batch axis, so it must divide the
+            # device count (device_put rejects it otherwise).
+            target = n_part + (-n_part) % n_dev
+        pad = target - n_part
+        if pad:
             part = np.concatenate([part, np.zeros((pad,) + part.shape[1:], part.dtype)])
         out = frontend(jnp.asarray(part))
-        if pad and len(parts):
-            out = jax.tree.map(lambda a: a[: chunk - pad], out)
+        if pad:
+            out = jax.tree.map(lambda a: a[:n_part], out)
         parts.append(out)
     described = (
         parts[0]
@@ -684,11 +693,12 @@ def build_tracks_from_images(
                 # Most recent keyframe wins; only fill untracked slots.
                 for wk in range(len(kfs) - 1, -1, -1):
                     kf = kfs[wk]
-                    # match is query(kf keypoints)->frame-f indices.
-                    src = np.where(w_val[wk])[0]
-                    dst = w_idx[wk, src]
-                    ok = (track_of[f, dst] < 0) & (track_of[kf, src] >= 0)
-                    track_of[f, dst[ok]] = track_of[kf, src[ok]]
+                    # The query is frame f, so w_idx maps frame-f slots
+                    # → keyframe slots.
+                    src = np.where(w_val[wk])[0]  # frame-f slots
+                    dst = w_idx[wk, src]  # matched keyframe slots
+                    ok = (track_of[f, src] < 0) & (track_of[kf, dst] >= 0)
+                    track_of[f, src[ok]] = track_of[kf, dst[ok]]
         # Unmatched valid keypoints open new tracks up to capacity.
         js = np.where(valid[f] & (track_of[f] < 0))[0]
         js = js[: max(0, max_tracks - next_track)]

@@ -86,33 +86,29 @@ def _trio_masks(dog: jax.Array, min3: jax.Array, max3: jax.Array, s: int, cfg: S
     return is_extremum & passes, is_extremum & ~passes
 
 
-def first_k_set_indices(flat_mask: jax.Array, capacity: int):
-    """Indices of the first ``capacity`` set bits of a flat mask, in order.
+def _select_by_rank(row_counts: jax.Array, capacity: int, row_bits_of):
+    """First-``capacity`` selection over 128-lane rows by rank query.
 
-    Sort-free replacement for ``top_k`` over negated indices (exact
-    ``lax.top_k`` on TPU measured ~0.9 ms per 77k-key call — it was 70 %
-    of the whole frontend). Hierarchical prefix-sum selection instead:
-    reshape the mask to ``(S, G, 128)``, count set bits per 128-lane row,
-    prefix-sum the counts at the superrow and row levels, then locate
-    each output slot ``j`` with three tiny rank queries (``sum(prefix ≤
-    j)`` over S, over G, and over the selected row's lane cumsum). All
-    dense vector ops on int32 — no sort, no scatter, no float keys.
+    The shared core of the sort-free selection (exact ``lax.top_k`` on
+    TPU measured ~0.9 ms per 77k-key call — it was 70 % of the whole
+    frontend): given per-row set-bit counts ``row_counts (rows,)``,
+    prefix-sum them at two levels (rows grouped into ``(S, G)``), then
+    locate each output slot ``j`` with three tiny rank queries
+    (``sum(prefix <= j)`` over S, over G, and over the selected row's
+    lane cumsum). All dense vector ops on int32 — no sort, no scatter,
+    no float keys. ``row_bits_of`` maps the selected (clipped) global
+    row indices ``(capacity,)`` to their ``(capacity, 128)`` bool lane
+    bits — callers can decode them from a packed representation without
+    ever materializing the full bit plane.
 
-    Returns ``(idx (capacity,) int32, valid (capacity,) bool, total)``
-    where ``total`` is the full set-bit count (before capacity clipping);
-    invalid slots hold index 0.
+    Returns ``(row (capacity,), lane (capacity,), valid, total)``.
     """
-    n = flat_mask.shape[0]
-    lanes = 128
-    rows = -(-n // lanes)
+    rows = row_counts.shape[0]
     g = min(rows, max(8, 1 << (max(rows, 1) - 1).bit_length() // 2))
     s = -(-rows // g)
-    pad = s * g * lanes - n
-    m = flat_mask
-    if pad:
-        m = jnp.pad(m, (0, pad))
-    bits = m.reshape(s, g, lanes)
-    lane_count = jnp.sum(bits, axis=-1, dtype=jnp.int32)  # (S, G)
+    pad = s * g - rows
+    lane_count = jnp.pad(row_counts, (0, pad)) if pad else row_counts
+    lane_count = lane_count.reshape(s, g)
     g_incl = jnp.cumsum(lane_count, axis=1)  # (S, G) inclusive
     s_total = g_incl[:, -1]  # (S,)
     s_incl = jnp.cumsum(s_total)  # (S,)
@@ -132,13 +128,35 @@ def first_k_set_indices(flat_mask: jax.Array, capacity: int):
     g_safe = jnp.minimum(g_j, g - 1)
     row_excl = g_rows[jnp.arange(capacity), g_safe] - lane_count[s_safe, g_safe]
     lane_j = local_j - row_excl
-    # Lane within the row.
-    row_bits = bits[s_safe, g_safe]  # (capacity, 128)
+    # Lane within the row (padded rows count 0, so the clip is safe:
+    # only invalid slots can land there and callers mask them).
+    r_glob = jnp.minimum(s_safe * g + g_safe, rows - 1)
+    row_bits = row_bits_of(r_glob)  # (capacity, 128)
     lane_incl = jnp.cumsum(row_bits.astype(jnp.int32), axis=1)
     lane = jnp.sum(lane_incl <= lane_j[:, None], axis=1, dtype=jnp.int32)
-    lane = jnp.minimum(lane, lanes - 1)
+    lane = jnp.minimum(lane, 127)
+    return r_glob, lane, valid, total
 
-    idx = (s_safe * g + g_safe) * lanes + lane
+
+def first_k_set_indices(flat_mask: jax.Array, capacity: int):
+    """Indices of the first ``capacity`` set bits of a flat mask, in order.
+
+    Thin wrapper over :func:`_select_by_rank` with the mask reshaped to
+    128-lane rows. Returns ``(idx (capacity,) int32, valid (capacity,)
+    bool, total)`` where ``total`` is the full set-bit count (before
+    capacity clipping); invalid slots hold index 0.
+    """
+    n = flat_mask.shape[0]
+    lanes = 128
+    rows = -(-n // lanes)
+    pad = rows * lanes - n
+    m = jnp.pad(flat_mask, (0, pad)) if pad else flat_mask
+    bits = m.reshape(rows, lanes)
+    row_counts = jnp.sum(bits, axis=-1, dtype=jnp.int32)
+    r_glob, lane, valid, total = _select_by_rank(
+        row_counts, capacity, lambda r: bits[r]
+    )
+    idx = r_glob * lanes + lane
     return jnp.where(valid, idx, 0), valid, total
 
 
@@ -277,43 +295,19 @@ def _first_k_candidates_packed(
     n_cand = jnp.sum(cand_rows, axis=-1)
     n_low = jnp.sum(low_rows, axis=-1)
 
-    # Hierarchical rank queries over the per-row counts (same scheme as
-    # first_k_set_indices, with the row dimension spanning all trios:
-    # global row r = trio * R + plane_row, so ascending r IS the
-    # (trio-major, row-major) reference emission order).
-    rows = n_trios * r_plane
-    g = min(rows, max(8, 1 << (max(rows, 1) - 1).bit_length() // 2))
-    s = -(-rows // g)
-    lane_count = cand_rows.reshape(-1)
-    pad = s * g - rows
-    if pad:
-        lane_count = jnp.pad(lane_count, (0, pad))
-    lane_count = lane_count.reshape(s, g)
-    g_incl = jnp.cumsum(lane_count, axis=1)
-    s_total = g_incl[:, -1]
-    s_incl = jnp.cumsum(s_total)
-    s_excl = s_incl - s_total
-    total = s_incl[-1]
+    # Shared hierarchical rank-query core, with the row dimension
+    # spanning all trios: global row r = trio * R + plane_row, so
+    # ascending r IS the (trio-major, row-major) reference emission
+    # order. The selected rows' lane bits decode from the packed plane
+    # in-register.
+    def row_bits_of(r_glob):
+        trio = r_glob // r_plane
+        prow = r_glob - trio * r_plane
+        return ((pk[prow] >> (2 * trio)[:, None]) & 3) == 1
 
-    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
-    valid = j < total
-    s_j = jnp.sum(s_incl[None, :] <= j[:, None], axis=1, dtype=jnp.int32)
-    s_safe = jnp.minimum(s_j, s - 1)
-    local_j = j - s_excl[s_safe]
-    g_rows = g_incl[s_safe]
-    g_j = jnp.sum(g_rows <= local_j[:, None], axis=1, dtype=jnp.int32)
-    g_safe = jnp.minimum(g_j, g - 1)
-    row_excl = (
-        g_rows[jnp.arange(capacity), g_safe] - lane_count[s_safe, g_safe]
+    r_glob, lane, valid, _ = _select_by_rank(
+        cand_rows.reshape(-1), capacity, row_bits_of
     )
-    lane_j = local_j - row_excl
-    r_glob = jnp.minimum(s_safe * g + g_safe, rows - 1)  # clip off padding
-    trio = r_glob // r_plane
-    prow = r_glob - trio * r_plane
-    row_bits = ((pk[prow] >> (2 * trio)[:, None]) & 3) == 1  # (capacity, 128)
-    lane_incl = jnp.cumsum(row_bits.astype(jnp.int32), axis=1)
-    lane = jnp.sum(lane_incl <= lane_j[:, None], axis=1, dtype=jnp.int32)
-    lane = jnp.minimum(lane, lanes - 1)
     idx = r_glob * lanes + lane
     return jnp.where(valid, idx, 0), valid, n_cand, n_low
 

@@ -43,6 +43,8 @@ from ..sfm.ba import (
     Observations,
     _obs_terms,
     backsub_landmarks,
+    huber_cost,
+    huber_weights,
     shard_schur_pieces,
     solve_reduced,
 )
@@ -129,6 +131,114 @@ def _pad_landmarks(state: BAState, n_shards: int) -> tuple[BAState, int]:
     return state, l + pad
 
 
+@functools.lru_cache(maxsize=64)
+def _ba_program(
+    mesh: Mesh,
+    axis: str,
+    num_iterations: int,
+    num_fixed_cameras: int,
+    huber_delta: float | None,
+):
+    """Cached jitted landmark-sharded LM program for one static config.
+
+    One program per (mesh, iteration/gauge/robust config); geometric
+    sizes (cameras, landmarks-per-shard, observations-per-shard) are
+    derived from traced shapes, so jit's own shape cache handles those —
+    combined with the caller's power-of-two observation bucketing this
+    bounds compile count over a whole SLAM run (previously every call
+    built a fresh ``jax.jit`` and recompiled the unrolled LM loop).
+    """
+
+    def local_residuals(rots, ts, kmat, points_local, cam, lm_local, uv, own):
+        l_local = points_local.shape[0]
+        x = points_local[jnp.clip(lm_local, 0, l_local - 1)]
+        res, _, _ = _obs_terms(rots, ts, kmat, x, cam, uv, own)
+        return res
+
+    def step(points_local, rots, ts, kmat, cam, lm, uv, valid, lam, cost):
+        l_local = points_local.shape[0]
+        num_cameras = rots.shape[0]
+        shard = jax.lax.axis_index(axis)
+        offset = shard * l_local
+        lm_local = lm - offset
+        own = valid & (lm_local >= 0) & (lm_local < l_local)
+
+        # Shared BA core (sfm/ba.py) computes this shard's contribution;
+        # camera-side pieces are partial sums over locally-owned
+        # observations → one psum each produces the replicated reduced
+        # system, solved identically on every device.
+        res_cur = local_residuals(
+            rots, ts, kmat, points_local, cam, lm_local, uv, own
+        )
+        pieces = shard_schur_pieces(
+            rots, ts, kmat, points_local, cam, lm_local, uv, own, lam,
+            num_cameras,
+            huber_weights(res_cur, huber_delta, points_local.dtype),
+        )
+        h_cc = jax.lax.psum(pieces.h_cc, axis)
+        b_c = jax.lax.psum(pieces.b_c, axis)
+        s_off = jax.lax.psum(pieces.s_off, axis)
+        rhs_off = jax.lax.psum(pieces.rhs_off, axis)
+        delta_c = solve_reduced(
+            h_cc, b_c, s_off, rhs_off, lam, num_fixed_cameras
+        )
+        delta_l = backsub_landmarks(pieces, delta_c)
+
+        rots_new = so3_exp(delta_c[:, :3]) @ rots
+        ts_new = ts + delta_c[:, 3:]
+        points_new = points_local + delta_l
+
+        # New cost (local residuals → psum). Must be the same robust
+        # cost as the single-device accept test (sfm/ba.py uses the
+        # shared huber_cost too), else the two solvers diverge on which
+        # LM steps they accept.
+        res_new = local_residuals(
+            rots_new, ts_new, kmat, points_new, cam, lm_local, uv, own
+        )
+        cost_new = jax.lax.psum(huber_cost(res_new, huber_delta), axis)
+
+        accept = cost_new < cost
+        rots = jnp.where(accept, rots_new, rots)
+        ts = jnp.where(accept, ts_new, ts)
+        points_local = jnp.where(accept, points_new, points_local)
+        cost = jnp.where(accept, cost_new, cost)
+        lam = jnp.clip(
+            jnp.where(accept, lam * 0.3, lam * 6.0), 1e-9, 1e5
+        )
+        return points_local, rots, ts, lam, cost
+
+    def run(points, rots, ts, kmat, cam, lm, uv, valid):
+        # Each device's observation block arrives as (1, n_max, ...).
+        cam, lm, uv, valid = cam[0], lm[0], uv[0], valid[0]
+        l_local = points.shape[0]
+        # Initial cost.
+        shard = jax.lax.axis_index(axis)
+        offset = shard * l_local
+        lm_local = lm - offset
+        own = valid & (lm_local >= 0) & (lm_local < l_local)
+        res0 = local_residuals(rots, ts, kmat, points, cam, lm_local, uv, own)
+        cost = jax.lax.psum(huber_cost(res0, huber_delta), axis)
+        lam = jnp.asarray(1e-4, points.dtype)
+        for _ in range(num_iterations):
+            points, rots, ts, lam, cost = step(
+                points, rots, ts, kmat, cam, lm, uv, valid, lam, cost
+            )
+        return points, rots, ts, cost
+
+    sharded = P(axis)
+    rep = P()
+    return jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(
+                sharded, rep, rep, rep, sharded, sharded, sharded, sharded,
+            ),
+            out_specs=(sharded, rep, rep, rep),
+        )
+    )
+
+
 def distributed_bundle_adjust(
     state: BAState,
     obs: Observations,
@@ -149,8 +259,6 @@ def distributed_bundle_adjust(
     orig_l = state.points.shape[0]
     state, l_padded = _pad_landmarks(state, n_shards)
     l_local = l_padded // n_shards
-    num_cameras = state.rotations.shape[0]
-    dtype = state.points.dtype
 
     # Group observations by owning landmark shard (host-side, eager):
     # row s of the (n_shards, n_max) buffers holds exactly the
@@ -163,8 +271,12 @@ def distributed_bundle_adjust(
     valid_np = np.asarray(obs.valid)
     owner = np.clip(lm_np // l_local, 0, n_shards - 1)
     counts = np.bincount(owner[valid_np], minlength=n_shards)
-    n_max = max(int(counts.max()), 1)
-    n_max += (-n_max) % 8
+    # Power-of-two bucket: a SLAM run calls this every ba_interval frames
+    # with a slowly growing observation set; bucketing bounds the number
+    # of distinct shapes the cached program compiles for (the raw
+    # counts.max() gave a fresh shape — and a full recompile of the
+    # unrolled LM loop — on nearly every call).
+    n_max = 1 << max(3, (max(int(counts.max()), 1) - 1).bit_length())
     cam_s = np.zeros((n_shards, n_max), cam_np.dtype)
     # Padding slots point at the shard's own first landmark so
     # lm_local stays in range (they are masked by valid anyway).
@@ -187,101 +299,10 @@ def distributed_bundle_adjust(
             put_global(a, mesh, P(axis)) for a in (cam_s, lm_s, uv_s, valid_s)
         )
 
-    def local_residuals(rots, ts, kmat, points_local, cam, lm_local, uv, own):
-        x = points_local[jnp.clip(lm_local, 0, l_local - 1)]
-        res, _, _ = _obs_terms(rots, ts, kmat, x, cam, uv, own)
-        return res
-
-    def local_cost(res):
-        if huber_delta is None:
-            return 0.5 * jnp.sum(res * res)
-        nrm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
-        quad = 0.5 * nrm * nrm
-        lin = huber_delta * (nrm - 0.5 * huber_delta)
-        return jnp.sum(jnp.where(nrm <= huber_delta, quad, lin))
-
-    def local_weights(res):
-        if huber_delta is None:
-            return None
-        nrm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
-        return jnp.where(nrm <= huber_delta, 1.0, huber_delta / nrm).astype(
-            dtype
-        )
-
-    def step(points_local, rots, ts, kmat, cam, lm, uv, valid, lam, cost):
-        shard = jax.lax.axis_index(axis)
-        offset = shard * l_local
-        lm_local = lm - offset
-        own = valid & (lm_local >= 0) & (lm_local < l_local)
-
-        # Shared BA core (sfm/ba.py) computes this shard's contribution;
-        # camera-side pieces are partial sums over locally-owned
-        # observations → one psum each produces the replicated reduced
-        # system, solved identically on every device.
-        res_cur = local_residuals(
-            rots, ts, kmat, points_local, cam, lm_local, uv, own
-        )
-        pieces = shard_schur_pieces(
-            rots, ts, kmat, points_local, cam, lm_local, uv, own, lam,
-            num_cameras, local_weights(res_cur),
-        )
-        h_cc = jax.lax.psum(pieces.h_cc, axis)
-        b_c = jax.lax.psum(pieces.b_c, axis)
-        s_off = jax.lax.psum(pieces.s_off, axis)
-        rhs_off = jax.lax.psum(pieces.rhs_off, axis)
-        delta_c = solve_reduced(
-            h_cc, b_c, s_off, rhs_off, lam, num_fixed_cameras
-        )
-        delta_l = backsub_landmarks(pieces, delta_c)
-
-        rots_new = so3_exp(delta_c[:, :3]) @ rots
-        ts_new = ts + delta_c[:, 3:]
-        points_new = points_local + delta_l
-
-        # New cost (local residuals → psum). Must use the same robust
-        # cost as the single-device accept test (sfm/ba.py cost_of),
-        # else the two solvers diverge on which LM steps they accept.
-        res_new = local_residuals(
-            rots_new, ts_new, kmat, points_new, cam, lm_local, uv, own
-        )
-        cost_new = jax.lax.psum(local_cost(res_new), axis)
-
-        accept = cost_new < cost
-        rots = jnp.where(accept, rots_new, rots)
-        ts = jnp.where(accept, ts_new, ts)
-        points_local = jnp.where(accept, points_new, points_local)
-        cost = jnp.where(accept, cost_new, cost)
-        lam = jnp.clip(
-            jnp.where(accept, lam * 0.3, lam * 6.0), 1e-9, 1e5
-        )
-        return points_local, rots, ts, lam, cost
-
-    def run(points, rots, ts, kmat, cam, lm, uv, valid):
-        # Each device's observation block arrives as (1, n_max, ...).
-        cam, lm, uv, valid = cam[0], lm[0], uv[0], valid[0]
-        # Initial cost.
-        shard = jax.lax.axis_index(axis)
-        offset = shard * l_local
-        lm_local = lm - offset
-        own = valid & (lm_local >= 0) & (lm_local < l_local)
-        res0 = local_residuals(rots, ts, kmat, points, cam, lm_local, uv, own)
-        cost = jax.lax.psum(local_cost(res0), axis)
-        lam = jnp.asarray(1e-4, dtype)
-        for _ in range(num_iterations):
-            points, rots, ts, lam, cost = step(
-                points, rots, ts, kmat, cam, lm, uv, valid, lam, cost
-            )
-        return points, rots, ts, cost
-
-    sharded = P(axis)
-    rep = P()
-    run_sharded = shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(sharded, rep, rep, rep, sharded, sharded, sharded, sharded),
-        out_specs=(sharded, rep, rep, rep),
+    program = _ba_program(
+        mesh, axis, num_iterations, num_fixed_cameras, huber_delta
     )
-    points, rots, ts, cost = jax.jit(run_sharded)(
+    points, rots, ts, cost = program(
         state.points,
         state.rotations,
         state.translations,

@@ -176,6 +176,64 @@ def _damp(h, eye, lam):
     return h + d[..., :, None] * eye
 
 
+def huber_cost(res: jax.Array, delta: float | None) -> jax.Array:
+    """Total (optionally Huber-robust) cost of masked residuals (O, 2).
+
+    THE cost definition for every BA solver in the repo — the
+    single-device and distributed LM accept tests compare costs computed
+    on different devices and must agree bit-for-bit, so this lives in
+    exactly one place. ``delta=None`` is plain least squares.
+    """
+    if delta is None:
+        return 0.5 * jnp.sum(res * res)
+    nrm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
+    quad = 0.5 * nrm * nrm
+    lin = delta * (nrm - 0.5 * delta)
+    return jnp.sum(jnp.where(nrm <= delta, quad, lin))
+
+
+def huber_weights(res: jax.Array, delta: float | None, dtype):
+    """Per-observation IRLS weights for :func:`huber_cost`'s loss.
+
+    ``None`` when ``delta`` is None (callers skip weighting entirely).
+    """
+    if delta is None:
+        return None
+    nrm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
+    return jnp.where(nrm <= delta, 1.0, delta / nrm).astype(dtype)
+
+
+def _apply_sqrt_weight(res, jc, jl, obs_weight):
+    """Scale residuals/Jacobians by √w (IRLS); no-op when weight is None."""
+    if obs_weight is None:
+        return res, jc, jl
+    sw = jnp.sqrt(obs_weight)[:, None]
+    return res * sw, jc * sw[..., None], jl * sw[..., None]
+
+
+def _normal_blocks(res, jc, jl, cam, num_cameras, seg, num_segments):
+    """Camera/landmark normal-equation blocks via ``segment_sum``.
+
+    Shared by the dense Schur path (:func:`shard_schur_pieces`, which
+    segments into ``l_local + 1`` with an overflow bucket for un-owned
+    rows) and the matrix-free CG path (which segments by raw landmark
+    id). Returns ``(h_cc (C,6,6), b_c (C,6), h_ll (S,3,3), b_l (S,3))``.
+    """
+    h_cc = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
+    )
+    b_c = jax.ops.segment_sum(
+        -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
+    )
+    h_ll = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jl, jl), seg, num_segments
+    )
+    b_l = jax.ops.segment_sum(
+        -jnp.einsum("oki,ok->oi", jl, res), seg, num_segments
+    )
+    return h_cc, b_c, h_ll, b_l
+
+
 class SchurPieces(NamedTuple):
     """Per-shard normal-equation/Schur contributions.
 
@@ -221,26 +279,14 @@ def shard_schur_pieces(
     l_local = points_local.shape[0]
     x = points_local[jnp.clip(lm_local, 0, l_local - 1)]
     res, jc, jl = _obs_terms(rots, ts, kmat, x, cam, uv, own)
-    if obs_weight is not None:
-        sw = jnp.sqrt(obs_weight)[:, None]
-        res = res * sw
-        jc = jc * sw[..., None]
-        jl = jl * sw[..., None]
-
-    h_cc = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
-    )  # (C, 6, 6)
-    b_c = jax.ops.segment_sum(
-        -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
-    )  # (C, 6)
+    res, jc, jl = _apply_sqrt_weight(res, jc, jl, obs_weight)
 
     seg = jnp.where(own, lm_local, l_local)  # overflow bucket for un-owned
-    h_ll = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", jl, jl), seg, l_local + 1
-    )[:l_local]
-    b_l = jax.ops.segment_sum(
-        -jnp.einsum("oki,ok->oi", jl, res), seg, l_local + 1
-    )[:l_local]
+    h_cc, b_c, h_ll, b_l = _normal_blocks(
+        res, jc, jl, cam, num_cameras, seg, l_local + 1
+    )
+    h_ll = h_ll[:l_local]
+    b_l = b_l[:l_local]
 
     # Dense coupling W: one scatter-add of per-observation (6,3) blocks
     # into the flattened (C·L_local) pair axis.
@@ -343,23 +389,9 @@ def _cg_delta(
         state.rotations, state.translations, state.k_mat, x, cam, obs.uv,
         obs.valid,
     )
-    if obs_weight is not None:
-        sw = jnp.sqrt(obs_weight)[:, None]
-        res = res * sw
-        jc = jc * sw[..., None]
-        jl = jl * sw[..., None]
-
-    h_cc = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
-    )
-    b_c = jax.ops.segment_sum(
-        -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
-    )
-    h_ll = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", jl, jl), lm, num_points
-    )
-    b_l = jax.ops.segment_sum(
-        -jnp.einsum("oki,ok->oi", jl, res), lm, num_points
+    res, jc, jl = _apply_sqrt_weight(res, jc, jl, obs_weight)
+    h_cc, b_c, h_ll, b_l = _normal_blocks(
+        res, jc, jl, cam, num_cameras, lm, num_points
     )
 
     eye6 = jnp.eye(6, dtype=dtype)
@@ -456,22 +488,13 @@ def bundle_adjust(
     dtype = state.points.dtype
 
     def cost_of(s):
-        r = reprojection_residuals(s, obs)
-        if huber_delta is None:
-            return 0.5 * jnp.sum(r * r)
-        # Huber cost.
-        nrm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
-        quad = 0.5 * nrm * nrm
-        lin = huber_delta * (nrm - 0.5 * huber_delta)
-        return jnp.sum(jnp.where(nrm <= huber_delta, quad, lin))
+        return huber_cost(reprojection_residuals(s, obs), huber_delta)
 
     def weights_of(s):
         if huber_delta is None:
             return None
-        r = reprojection_residuals(s, obs)
-        nrm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
-        return jnp.where(nrm <= huber_delta, 1.0, huber_delta / nrm).astype(
-            dtype
+        return huber_weights(
+            reprojection_residuals(s, obs), huber_delta, dtype
         )
 
     lam = jnp.asarray(1e-4, dtype)

@@ -55,6 +55,18 @@ def test_associate_greedy_nearest():
     assert list(zip(ia.tolist(), ib.tolist())) == [(0, 0), (1, 1), (3, 3)]
 
 
+def test_associate_falls_back_to_second_nearest():
+    """Official associate.py protocol: when an ``a``'s nearest ``b`` is
+    claimed by a closer ``a``, it must fall back to its second-nearest
+    candidate within the window, not drop out (round-2 review finding:
+    only the argmin candidate was considered)."""
+    a = np.array([0.0, 0.01])
+    b = np.array([0.009, 0.015])
+    ia, ib = associate(a, b, max_difference=0.02)
+    # (0.01, 0.009) is the closest pair; 0.0 then pairs with 0.015.
+    assert list(zip(ia.tolist(), ib.tolist())) == [(0, 1), (1, 0)]
+
+
 def test_tum_intrinsics_table():
     k1 = intrinsics_for("/data/rgbd_dataset_freiburg1_xyz")
     assert k1[0, 0] == 517.3
@@ -208,3 +220,57 @@ def test_pad_to_tpu_friendly_kitti_dims():
     # Aligned input is returned untouched (no copy, no new array).
     aligned = rng.random((64, 128))
     assert pad_to_tpu_friendly(aligned) is aligned
+
+
+@pytest.mark.slow
+def test_evaluate_cli_kitti_end_to_end(tmp_path, capsys):
+    """Fixture KITTI sequence (misaligned dims) → evaluate CLI → ATE.
+
+    The frame size (310x110) is deliberately TPU-unfriendly so the CLI's
+    edge-padding path (→ 320x128) is exercised end to end: decode → pad
+    → SLAM → Umeyama ATE against the poses/NN.txt ground truth. Unlike
+    the TUM fixture, KITTI ships its calibration, so the pipeline runs
+    with the true K.
+    """
+    from sift_scale_space_extrema_detection_tpu import evaluate as ev
+    from sift_scale_space_extrema_detection_tpu.data.kitti import (
+        write_kitti_sequence,
+    )
+    from sift_scale_space_extrema_detection_tpu.utils.synthetic import (
+        render_blob_image,
+        textured_blob_field,
+    )
+
+    rng = np.random.default_rng(5)
+    n, w, h = 6, 310, 110
+    k_mat = np.array([[200.0, 0, w / 2], [0, 200.0, h / 2], [0, 0, 1.0]])
+    pts = rng.uniform([-2.5, -0.9, 3.0], [2.5, 0.9, 8.0], size=(130, 3))
+    rpts, amps, ss = textured_blob_field(rng, pts)
+    rots, ts, imgs = [], [], []
+    for f in range(n):
+        r = np.asarray(geo.so3_exp(jnp.asarray([0.003 * f, -0.008 * f, 0.0])))
+        center = np.array([0.25 * f, 0.015 * f, 0.0])
+        rots.append(r)
+        ts.append(-r @ center)
+        imgs.append(
+            render_blob_image(
+                rpts, r, ts[-1], k_mat, (w, h),
+                amplitudes=amps, sigma_scales=ss,
+                rng=np.random.default_rng(300 + f),
+            )
+        )
+    root = str(tmp_path / "kitti_root")
+    write_kitti_sequence(
+        root, "07", np.stack(imgs), np.arange(n) * 0.1,
+        np.stack(rots), np.stack(ts), k_mat,
+    )
+    rc = ev.main([root, "--sequence", "07", "--octaves", "3",
+                  "--capacity", "256"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "padded to 320x128" in out
+    import json as _json
+
+    metrics = _json.loads(out.strip().splitlines()[-1])
+    assert metrics["frames"] == n
+    assert metrics["ate_rmse"] < 0.15  # true K; ~1.3-unit trajectory

@@ -52,3 +52,73 @@ def test_visual_slam_end_to_end():
     # Pixel-level keypoints on synthetic blob texture, monocular
     # scale-aligned: ~3% of the ~2-unit trajectory extent.
     assert ate < 0.06, f"ATE {ate:.4f}" 
+
+
+def test_window_reassociation_reacquires_lost_tracks():
+    """A track lost in a blank middle frame is re-acquired from the
+    2-frame window, and lands on the RIGHT keypoints.
+
+    Frame 2 views the frame-0 texture shifted by (dx, dy) pixels, so
+    keypoint slot order differs between the frames — a src/dst swap in
+    the re-association wiring (the round-2 review finding) would attach
+    re-acquired tracks to the wrong keypoints and scatter the per-track
+    pixel offsets; correct wiring gives every shared track the same
+    (dx, dy) offset.
+    """
+    from sift_scale_space_extrema_detection_tpu.models.slam import (
+        build_tracks_from_images,
+    )
+    from sift_scale_space_extrema_detection_tpu.ops.gaussian import (
+        blur_separable,
+    )
+
+    rng = np.random.default_rng(3)
+    tex = np.asarray(blur_separable(jnp.asarray(rng.random((160, 160))), 1.5))
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    dy, dx = 5, 3
+    img0 = tex[dy : dy + 128, dx : dx + 128]
+    img1 = np.full((128, 128), 0.5)  # featureless: every track dies here
+    img2 = tex[0:128, 0:128]
+    images = np.stack([img0, img1, img2]).astype(np.float32)
+
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=256)
+    pixels, visible, _ = build_tracks_from_images(
+        images, cfg, k_mat=None, reassoc_window=2
+    )
+    shared = visible[0] & visible[2] & ~visible[1]
+    assert shared.sum() >= 5, f"only {shared.sum()} re-acquired tracks"
+    offsets = pixels[2, shared] - pixels[0, shared]
+    # Every re-acquired track must show the same content shift (the
+    # texture moved by (+dx, +dy) from frame 0's crop to frame 2's).
+    np.testing.assert_allclose(
+        np.median(offsets, axis=0), [dx, dy], atol=0.5
+    )
+    spread = np.abs(offsets - [dx, dy]).max()
+    assert spread < 1.0, f"re-associated offsets scattered by {spread:.2f}px"
+
+
+def test_build_tracks_short_sequence_on_mesh_matches_single_device():
+    """A sequence shorter than one mesh chunk must not crash on batch
+    divisibility (round-2 review finding: the first chunk went to the
+    data-parallel frontend unpadded) and must reproduce the
+    single-device tracks."""
+    import jax
+    import pytest
+
+    from sift_scale_space_extrema_detection_tpu.models.slam import (
+        build_tracks_from_images,
+    )
+    from sift_scale_space_extrema_detection_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(4)
+    images, _, _, k_mat = _render_sequence(rng, num_frames=6, w=96, h=64)
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
+
+    single = build_tracks_from_images(images, cfg, k_mat=k_mat)
+    mesh = make_mesh(8)
+    dist = build_tracks_from_images(images, cfg, k_mat=k_mat, mesh=mesh)
+    assert dist[0].shape == single[0].shape
+    np.testing.assert_array_equal(dist[1], single[1])
+    np.testing.assert_allclose(dist[0], single[0], atol=1e-5)
