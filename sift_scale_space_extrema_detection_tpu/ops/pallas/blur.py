@@ -147,7 +147,7 @@ def blur_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(b, n_stripes),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, tile_h, w), lambda bi, si: (bi, si, 0), memory_space=pltpu.VMEM
         ),

@@ -100,11 +100,13 @@ def _plan(
             if n_halo_planes
             else 0
         )
-        # single DMA'd stripe scratch + tap temporaries + double-buffered
-        # outputs (the input is manually DMA'd from HBM — overlapping
-        # windows are inexpressible as a BlockSpec, and materializing an
-        # overlapping-stripe tensor in XLA measured 62 ms of octave 0's
-        # 122 ms at batch 64, more than the kernel itself).
+        # two DMA'd stripe scratch buffers (the input is manually DMA'd
+        # from HBM — overlapping windows are inexpressible as a
+        # BlockSpec, and materializing an overlapping-stripe tensor in
+        # XLA measured 62 ms of octave 0's 122 ms at batch 64, more
+        # than the kernel itself; double buffering hides the copy
+        # behind the previous stripe's compute) + tap temporaries +
+        # double-buffered outputs.
         # NOTE an MXU formulation (both separable passes as banded-matrix
         # matmuls, f32 HIGHEST) was built and measured no faster: this
         # chip's effective HBM WRITE bandwidth is ~100 GB/s (measured via
@@ -112,7 +114,7 @@ def _plan(
         # reach ~250 GB/s), so the detect path is write-bound and the
         # VPU taps already sit within ~2x of that floor.
         need = (
-            stripe_bytes
+            2 * stripe_bytes
             + (taps_max + 1) * stripe_bytes
             + halo_bytes
             + mask_bytes
@@ -167,15 +169,36 @@ def _octave_kernel(
     seed_ref = refs.pop(0)
     masks_ref = refs.pop(0) if emit_masks else None
 
+    # Double-buffered stripe DMA across grid steps: each step starts the
+    # NEXT step's copy before waiting on its own, so the HBM read rides
+    # under the previous stripe's compute (TPU grid steps run
+    # sequentially; the scratch persists across them).
     b = pl.program_id(0)
     si = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        padded_hbm.at[b, pl.ds(si * tile_h, hp), :],
-        stripe_scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    n_si = pl.num_programs(1)
+    k = b * n_si + si
+    total_steps = pl.num_programs(0) * n_si
+
+    def dma_for(slot, kk):
+        bb = kk // n_si
+        ss = kk - bb * n_si
+        return pltpu.make_async_copy(
+            padded_hbm.at[bb, pl.ds(ss * tile_h, hp), :],
+            stripe_scratch.at[slot],
+            sem.at[slot],
+        )
+
+    slot = k % 2
+
+    @pl.when(k == 0)
+    def _():
+        dma_for(slot, k).start()
+
+    @pl.when(k + 1 < total_steps)
+    def _():
+        dma_for(1 - slot, k + 1).start()
+
+    dma_for(slot, k).wait()
 
     # Blur on a 1-px halo window when masks are needed (the extrema scan
     # reads each DoG plane's 8/9-neighborhoods); hx=1 shifts every slice
@@ -184,7 +207,7 @@ def _octave_kernel(
     th2 = tile_h + 2 * hx
     w2 = w + 2 * hx
 
-    stripe = stripe_scratch[:, :]  # (hp, wp)
+    stripe = stripe_scratch[slot]  # (hp, wp)
     prev = None
     dogs = []
     for s, taps in enumerate(taps_per_scale):
@@ -410,12 +433,12 @@ def fused_octave(
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_stripes),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((hp, wp), base.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, hp, wp), base.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
