@@ -63,15 +63,23 @@ def make_batch(batch: int, h: int, w: int) -> np.ndarray:
     return (np.round(np.clip(imgs, 0.0, 1.0) * 255.0) / 255.0).astype(np.float32)
 
 
-def detect_traffic_bytes(batch: int, h: int, w: int, cfg) -> int:
-    """Ideal HBM bytes for the detect-path pyramid+DoG+masks build."""
+def detect_traffic_bytes(
+    batch: int, h: int, w: int, cfg, dog_bytes: int = 4
+) -> int:
+    """Ideal HBM bytes for the detect-path pyramid+DoG+masks build.
+
+    ``dog_bytes``: stored bytes/px of the DoG planes (2 in the
+    bf16-compressed mode).
+    """
     total = 0
     bh, bw = 2 * h, 2 * w  # 2x NN upsample (reference/background.js:84)
     s = cfg.scales_per_octave_total
     for _ in range(cfg.num_octaves):
-        plane = 4 * batch * bh * bw
+        px = batch * bh * bw
+        plane = 4 * px
         read_base = int(1.05 * plane)  # stripe halo overlap ~5%
-        write = (s - 1 + 1 + 1) * plane  # DoG + seed + packed mask
+        # (S-1) DoG planes at dog_bytes + f32 seed + int32 packed mask.
+        write = (s - 1) * dog_bytes * px + 2 * plane
         # Selection: one re-read of the packed plane (candidates decode
         # from it in-register; no unpacked volume is materialized).
         reread = plane
@@ -85,6 +93,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--blur",
+        default="fused",
+        choices=["fused", "fused_bf16", "separable", "matmul"],
+        help="fused_bf16 stores DoG planes as bfloat16 (same candidate "
+        "set, ~40%% less write traffic; see ops/pallas/octave.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -112,7 +127,7 @@ def main() -> None:
     # first was observed to leave the allocator in a state that slowed
     # the full-pipeline executable ~1.6x) ------------------------------
     for _ in range(2):  # compile + first-run warm-up
-        kp, _ = detect_batched_jit(images, cfg, "fused")
+        kp, _ = detect_batched_jit(images, cfg, args.blur)
         sync_scalar(jnp.sum(kp.abs_sigma))
     # Keypoint count OUTSIDE the timed loop: its astype+sum eager ops
     # have their own first-call compile cost (~190 ms once) that would
@@ -120,15 +135,18 @@ def main() -> None:
     n_kp = int(sync_scalar(jnp.sum(kp.valid.astype(jnp.int32))))
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        kp, _ = detect_batched_jit(images, cfg, "fused")
+        kp, _ = detect_batched_jit(images, cfg, args.blur)
         sync_scalar(jnp.sum(kp.abs_sigma))
     total_s = (time.perf_counter() - t0) / args.iters
 
     # --- stage: pyramid + DoG + masks alone (detect path) ---------------
     @jax.jit
     def pyramid_only(imgs):
+        import jax.numpy as _jnp
+
         _, dogs, masks = build_pyramid_fused(
-            imgs, cfg, emit_scales=False, emit_masks=True
+            imgs, cfg, emit_scales=False, emit_masks=True,
+            dog_dtype=_jnp.bfloat16 if args.blur == "fused_bf16" else None,
         )
         return sum(jnp.sum(d[..., ::64, ::64]) for d in dogs) + sum(
             jnp.sum(m[..., ::64, ::64]) for m in masks
@@ -144,7 +162,10 @@ def main() -> None:
         sync_scalar(pyramid_only(images))
     pyr_s = (time.perf_counter() - t0) / args.iters
 
-    ideal_bytes = detect_traffic_bytes(batch, h, w, cfg)
+    ideal_bytes = detect_traffic_bytes(
+        batch, h, w, cfg,
+        dog_bytes=2 if args.blur == "fused_bf16" else 4,
+    )
     ideal_s = ideal_bytes / (V5E_HBM_GBPS * 1e9)
     achieved_gbps = ideal_bytes / pyr_s / 1e9
     # Write/read split: of the traffic model, writes = DoG+seed+masks
@@ -158,6 +179,7 @@ def main() -> None:
     tail_s = total_s - pyr_s
     out = {
         "batch": batch,
+        "blur": args.blur,
         "pyramid_dog_masks_ms": round(pyr_s * 1e3, 2),
         "ideal_roofline_ms": round(ideal_s * 1e3, 2),
         "measured_bw_floor_ms": round(floor_s * 1e3, 2),

@@ -55,6 +55,7 @@ def build_pyramid_fused(
     emit_scales: bool = True,
     emit_masks: bool = False,
     interpret: bool = False,
+    dog_dtype=None,
 ) -> tuple[list[jax.Array] | None, list[jax.Array], list[jax.Array | None]]:
     """Pyramid + DoG (+ extrema masks) via the fused octave Pallas kernel.
 
@@ -68,6 +69,13 @@ def build_pyramid_fused(
     Octaves whose kernel plan does not fit VMEM fall back to the XLA
     separable path (mask ``None`` — callers run the XLA extrema scan
     there).
+
+    ``dog_dtype`` (e.g. ``jnp.bfloat16``) compresses the STORED DoG
+    planes on kernel-path octaves — the in-VMEM extrema scan still
+    reads full precision, so the candidate set is unchanged; only
+    refinement's gathered neighborhoods quantize (ops/pallas/octave.py).
+    Fallback octaves keep full precision (their scan runs in XLA on the
+    stored planes).
     """
     batch_shape = images.shape[:-2]
     flat = images.reshape((-1,) + images.shape[-2:])
@@ -94,6 +102,7 @@ def build_pyramid_fused(
                 emit_masks=emit_masks,
                 contrast_thr=cfg.contrast_prefilter_threshold,
                 interpret=interpret,
+                dog_dtype=dog_dtype,
             )
         elif (on_tpu or interpret) and fused_octave_supported(
             h, w, sigmas, cfg.scales_per_octave
@@ -104,6 +113,7 @@ def build_pyramid_fused(
                 cfg.scales_per_octave,
                 emit_scales=emit_scales,
                 interpret=interpret,
+                dog_dtype=dog_dtype,
             )
         else:
             planes = [
@@ -206,10 +216,18 @@ def _dog_pyramid(
 ) -> tuple[list[jax.Array], list[jax.Array | None]]:
     """Per-octave (DoG stacks, extrema masks); ``blur="fused"`` takes
     the whole-octave Pallas kernel path (Gaussian stacks never written
-    to HBM, extrema masks computed in-VMEM)."""
-    if blur == "fused":
+    to HBM, extrema masks computed in-VMEM); ``"fused_bf16"``
+    additionally stores the DoG planes as bfloat16 (same candidate set
+    — the in-VMEM scan is full precision — slightly quantized
+    refinement inputs, ~40% less HBM write traffic on the write-bound
+    detect path)."""
+    if blur in ("fused", "fused_bf16"):
         _, dog, masks = build_pyramid_fused(
-            images, cfg, emit_scales=False, emit_masks=True
+            images,
+            cfg,
+            emit_scales=False,
+            emit_masks=True,
+            dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
         )
         return dog, masks
     return build_dog(build_scale_space(images, cfg, blur)), [None] * cfg.num_octaves
@@ -255,9 +273,10 @@ def detect_and_describe(
     up to ``max_orientations_per_keypoint`` orientations and 128-D
     descriptors from the octave's Gaussian stack.
     """
-    if blur == "fused":
+    if blur in ("fused", "fused_bf16"):
         scale_space, dog, masks = build_pyramid_fused(
-            image, cfg, emit_scales=True, emit_masks=True
+            image, cfg, emit_scales=True, emit_masks=True,
+            dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
         )
     else:
         scale_space = build_scale_space(image, cfg, blur)
@@ -287,9 +306,10 @@ def detect_and_describe_batched(
     The pyramid build is natively batched; per-image stages vmap over the
     leading axis.
     """
-    if blur == "fused":
+    if blur in ("fused", "fused_bf16"):
         scale_space, dog, masks = build_pyramid_fused(
-            images, cfg, emit_scales=True, emit_masks=True
+            images, cfg, emit_scales=True, emit_masks=True,
+            dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
         )
     else:
         scale_space = build_scale_space(images, cfg, blur)

@@ -234,8 +234,12 @@ def _octave_kernel(
             seed_ref[0, 0] = inner
         if prev is not None:
             # Reference DoG sign: lower − upper (background.js:276-277).
+            # Stored at the ref's dtype (bf16 in the compressed mode);
+            # the in-VMEM extrema scan below reads the full-precision d.
             d = prev - cur
-            dog_ref[0, s - 1] = d[hx : hx + tile_h, hx : hx + w]
+            dog_ref[0, s - 1] = d[hx : hx + tile_h, hx : hx + w].astype(
+                dog_ref.dtype
+            )
             if emit_masks:
                 dogs.append(d)
         prev = cur
@@ -315,6 +319,7 @@ def fused_octave(
     emit_masks: bool = False,
     contrast_thr: float = 0.0,
     interpret: bool = False,
+    dog_dtype=None,
 ):
     """Whole-octave pyramid+DoG (+ extrema masks) from the octave base.
 
@@ -329,9 +334,19 @@ def fused_octave(
     1 = candidate, 2 = low-contrast reject — or ``None`` when
     ``emit_masks=False``. Mask pixels are valid over the image interior
     only; the kernel zeroes the border (reference/src/sift.js:221-222).
+
+    ``dog_dtype`` (default: ``base.dtype``) sets the STORAGE dtype of
+    the emitted DoG planes only — all blur/DoG/extrema arithmetic stays
+    in ``base.dtype`` in VMEM, and the seed/scales stay full precision
+    (the seed feeds the next octave's blur ladder). ``bfloat16`` halves
+    the dominant HBM write traffic of the detect path (the stage is
+    write-bandwidth-bound); with ``emit_masks=True`` the candidate SET
+    is unchanged (the in-VMEM scan reads full-precision values) — only
+    the refinement inputs quantize.
     """
     b, h, w = base.shape
     n_scales = len(sigmas)
+    dog_dtype = base.dtype if dog_dtype is None else jnp.dtype(dog_dtype)
     radii = [kernel_radius(s) for s in sigmas if s is not None]
     n_out_planes = (
         (n_scales if emit_scales else 0)
@@ -384,7 +399,7 @@ def fused_octave(
             )
         )
     out_shapes.append(
-        jax.ShapeDtypeStruct((b, n_scales - 1, hout, w), base.dtype)
+        jax.ShapeDtypeStruct((b, n_scales - 1, hout, w), dog_dtype)
     )
     out_specs.append(
         pl.BlockSpec(

@@ -67,7 +67,10 @@ def _refine_vectorized(
     statically (``max_refine_iterations`` = 5). Float op order per
     element matches the reference exactly (see module docstring).
     """
-    dtype = dog.dtype
+    # Newton math always runs at >= f32: the bf16-compressed DoG mode
+    # (ops/pallas/octave.py dog_dtype) quantizes only the STORED planes;
+    # gathered neighborhoods are widened right after the gather.
+    dtype = jnp.float32 if dog.dtype == jnp.bfloat16 else dog.dtype
     d_scales, h, w = dog.shape
     thr = cfg.contrast_threshold_scaled
     edge_thr = cfg.edge_threshold
@@ -100,8 +103,9 @@ def _refine_vectorized(
         nc = jnp.clip(n, 1, w - 2)
         base = (sc * h + mc) * w + nc
         vals = jnp.take(dog_flat, base[:, None] + offsets[None, :], axis=0)
-        return vals  # (N, 27), index (a,b,c) -> 9a+3b+c
+        return vals.astype(dtype)  # (N, 27), index (a,b,c) -> 9a+3b+c
 
+    value = value.astype(dtype)
     zero = jnp.zeros_like(value)
     state = dict(
         s=s0.astype(jnp.int32),

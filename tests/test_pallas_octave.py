@@ -224,3 +224,65 @@ def test_fused_octave_masks_match_xla_scan():
                 np.asarray(getattr(e_got, field)),
                 np.asarray(getattr(e_ref, field)),
             )
+
+
+def test_fused_bf16_dog_same_candidates_close_keypoints():
+    """bf16-compressed DoG storage: identical candidate set, close keypoints.
+
+    The compressed mode (ops/pallas/octave.py ``dog_dtype``) quantizes
+    only the STORED DoG planes; the in-VMEM extrema scan reads full
+    precision, so the packed mask plane — and with it every candidate
+    and the rejection counters — must be bit-identical to the f32 path.
+    Refinement re-reads the quantized planes, so accepted keypoints may
+    shift slightly or flip near thresholds; require a high-agreement
+    match with sub-pixel-scale position deltas.
+    """
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        detect_from_dog,
+    )
+
+    rng = np.random.default_rng(6)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (
+        0.4
+        + 0.25 * np.sin(xx / 5) * np.cos(yy / 7)
+        + 0.3 * np.exp(-((yy - 32) ** 2 + (xx - 32) ** 2) / 30.0)
+    )
+    img = np.clip(img + 0.04 * rng.standard_normal((64, 64)), 0, 1)
+    img = jnp.asarray(img.astype(np.float32))
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
+
+    _, dog32, m32 = build_pyramid_fused(
+        img, cfg, emit_scales=False, emit_masks=True, interpret=True
+    )
+    _, dog16, m16 = build_pyramid_fused(
+        img, cfg, emit_scales=False, emit_masks=True, interpret=True,
+        dog_dtype=jnp.bfloat16,
+    )
+    for a, b in zip(m32, m16):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for d32, d16 in zip(dog32, dog16):
+        assert d16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(d16, np.float32), np.asarray(d32), atol=4e-3
+        )
+
+    kp32, ex32 = detect_from_dog(dog32, cfg, m32)
+    kp16, ex16 = detect_from_dog(dog16, cfg, m16)
+    # Candidate accounting identical (mask-derived).
+    for e32, e16 in zip(ex32, ex16):
+        np.testing.assert_array_equal(
+            np.asarray(e32.num_candidates), np.asarray(e16.num_candidates)
+        )
+    assert kp16.abs_x.dtype == kp32.abs_x.dtype  # refine widened to f32
+    v32 = np.asarray(kp32.valid)
+    v16 = np.asarray(kp16.valid)
+    n32, n16 = v32.sum(), v16.sum()
+    assert n32 > 0
+    # Same slots accepted for ~all keypoints (threshold flips are rare).
+    agree = (v32 == v16).mean()
+    assert agree > 0.98, f"accept/reject agreement {agree:.3f}"
+    both = v32 & v16
+    dx = np.abs(np.asarray(kp32.abs_x)[both] - np.asarray(kp16.abs_x)[both])
+    dy = np.abs(np.asarray(kp32.abs_y)[both] - np.asarray(kp16.abs_y)[both])
+    assert max(dx.max(), dy.max()) < 0.1, (dx.max(), dy.max())
