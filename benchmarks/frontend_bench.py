@@ -100,6 +100,11 @@ def main() -> None:
         help="fused_bf16 stores DoG planes as bfloat16 (same candidate "
         "set, ~40%% less write traffic; see ops/pallas/octave.py)",
     )
+    ap.add_argument(
+        "--stages",
+        action="store_true",
+        help="also time candidate selection and refinement separately",
+    )
     args = ap.parse_args()
 
     import jax
@@ -162,6 +167,69 @@ def main() -> None:
         sync_scalar(pyramid_only(images))
     pyr_s = (time.perf_counter() - t0) / args.iters
 
+    # --- optional finer tail split: selection vs refinement --------------
+    sel_s = ref_s = None
+    if args.stages:
+        from sift_scale_space_extrema_detection_tpu.models.frontend import (
+            _dog_pyramid,
+        )
+        from sift_scale_space_extrema_detection_tpu.ops.extrema import (
+            select_refine_candidates,
+        )
+        from sift_scale_space_extrema_detection_tpu.ops.refine import (
+            refine_keypoints,
+        )
+
+        # Materialize the pyramid once; time selection and refinement
+        # separately against it (all per-image work vmapped like the
+        # production path).
+        dogs, masks = _dog_pyramid(images, cfg, args.blur)
+        dogs = [jax.block_until_ready(d) for d in dogs]
+        if any(m is None for m in masks):
+            raise SystemExit(
+                "--stages needs the fused mask path (TPU/interpret only)"
+            )
+
+        @jax.jit
+        def select_only(*arrs):
+            n = len(arrs) // 2
+            out = []
+            for o in range(n):
+                sel = jax.vmap(
+                    lambda m, d, o=o: select_refine_candidates(
+                        m, d, cfg, cfg.refine_capacity(o)
+                    )
+                )(arrs[n + o], arrs[o])
+                out.append(jnp.sum(sel.y) + jnp.sum(sel.valid))
+            return sum(out)
+
+        @jax.jit
+        def select_and_refine(*arrs):
+            n = len(arrs) // 2
+            out = []
+            for o in range(n):
+                def one(m, d, o=o):
+                    sel = select_refine_candidates(
+                        m, d, cfg, cfg.refine_capacity(o)
+                    )
+                    kp = refine_keypoints(d, sel, o, cfg)
+                    return jnp.sum(kp.abs_sigma)
+                out.append(jnp.sum(jax.vmap(one)(arrs[n + o], arrs[o])))
+            return sum(out)
+
+        arrs = tuple(dogs) + tuple(masks)
+        for fn in (select_only, select_and_refine):
+            sync_scalar(fn(*arrs))
+            sync_scalar(fn(*arrs))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            sync_scalar(select_only(*arrs))
+        sel_s = (time.perf_counter() - t0) / args.iters
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            sync_scalar(select_and_refine(*arrs))
+        ref_s = (time.perf_counter() - t0) / args.iters - sel_s
+
     ideal_bytes = detect_traffic_bytes(
         batch, h, w, cfg,
         dog_bytes=2 if args.blur == "fused_bf16" else 4,
@@ -192,6 +260,9 @@ def main() -> None:
         "keypoints_per_image": round(n_kp / batch, 1),
         "keypoints_per_s": round(n_kp / total_s, 1),
     }
+    if sel_s is not None:
+        out["selection_ms"] = round(sel_s * 1e3, 2)
+        out["refinement_ms"] = round(ref_s * 1e3, 2)
     print(json.dumps(out))
 
 
