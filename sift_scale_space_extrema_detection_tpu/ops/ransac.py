@@ -70,9 +70,11 @@ def _epipolar_rows(rays1: jax.Array, rays2: jax.Array) -> jax.Array:
 
 def _normalizing_transform(rays: jax.Array, weight: jax.Array) -> jax.Array:
     """Hartley normalization: similarity T centering weighted (x, y) at 0
-    with RMS radius √2. Essential for float32: the 8-point solve goes
-    through eig(AᵀA), which squares the conditioning; unnormalized
-    float32 fits were observed to fail outright.
+    with RMS radius √2. Essential for float32: even with the direct-SVD
+    nullspace solve (:func:`_eight_point_nullvec`), unnormalized
+    float32 minimal fits were observed to fail outright on
+    conditioning — κ(A) of raw-ray constraint rows exceeds the usable
+    float32 margin.
     """
     dtype = rays.dtype
     wsum = jnp.maximum(jnp.sum(weight), 1.0)
@@ -111,9 +113,10 @@ def sampson_error(e_mat: jax.Array, rays1: jax.Array, rays2: jax.Array):
 def decompose_essential(e_mat: jax.Array):
     """E → four (R, t) candidates: (R1, ±t), (R2, ±t)."""
     u, _, vt = jnp.linalg.svd(e_mat)
-    # Enforce proper rotations.
-    u = u * jnp.sign(jnp.linalg.det(u))
-    vt = vt * jnp.sign(jnp.linalg.det(vt))[..., None]
+    # Enforce proper rotations (sign factors broadcast over any leading
+    # hypothesis batch: det is (...,), the matrices (..., 3, 3)).
+    u = u * jnp.sign(jnp.linalg.det(u))[..., None, None]
+    vt = vt * jnp.sign(jnp.linalg.det(vt))[..., None, None]
     w = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], e_mat.dtype)
     r1 = u @ w @ vt
     r2 = u @ w.T @ vt
@@ -295,6 +298,22 @@ def estimate_essential_ransac(
     e_best = hat(t) @ rot
     err_ref = sampson_error(e_best, rays1, rays2)
     inliers = (err_ref < thr2) & valid
+
+    # Final cheirality re-validation: Sampson error is invariant to the
+    # sign of t and to the twisted pair, so the GNC/LM polish can drift
+    # onto a decomposition branch whose depths are negative even though
+    # the INITIAL pose was depth-checked. Re-pick the positive-depth
+    # decomposition of the final E over the final inliers (same E, so
+    # e_mat/inliers are unchanged).
+    rot, t = recover_pose(e_best, rays1, rays2, inliers.astype(dtype))
+
+    # With fewer than 8 valid correspondences the distinct-sample trick
+    # selects invalid (tied-at -1) slots and the 8-point system is
+    # underdetermined — every output would be noise. Report zero
+    # inliers so callers take their too-few-points path instead of
+    # consuming a garbage pose.
+    enough = jnp.sum(valid) >= 8
+    inliers = inliers & enough
 
     return EssentialResult(
         e_mat=e_best,

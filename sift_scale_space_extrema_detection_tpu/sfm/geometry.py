@@ -67,7 +67,10 @@ def so3_log(rot: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    small = (theta < 1e-4)[..., None]
+    # Threshold must sit ABOVE the floor the cos clip imposes
+    # (arccos(1 − 1e-7) ≈ 4.5e-4) or the Taylor branch is dead code;
+    # 1e-3 keeps θ/(2·sinθ) comfortably stable on the other side.
+    small = (theta < 1e-3)[..., None]
     scale = jnp.where(
         small,
         0.5 + theta[..., None] ** 2 / 12.0,

@@ -33,20 +33,53 @@ def pnp_dlt(
     y = (uv[:, 1] - cy) / fy
 
     n = points.shape[0]
+    wv = valid.astype(dtype)
+    # Hartley-style normalization of the 3D points (center + scale to
+    # mean norm √3): the raw DLT columns span X, 1, and x·X magnitudes,
+    # and this module's essential-matrix solver documents that
+    # unnormalized float32 minimal fits fail outright on conditioning
+    # (ops/ransac.py) — the same hazard applies here for scenes offset
+    # from the origin. P is denormalized afterwards.
+    n_valid = jnp.maximum(jnp.sum(wv), 1.0)
+    centroid = jnp.sum(points * wv[:, None], axis=0) / n_valid
+    centered = points - centroid
+    mean_norm = jnp.sum(
+        jnp.linalg.norm(centered, axis=-1) * wv
+    ) / n_valid
+    norm_scale = jnp.sqrt(jnp.asarray(3.0, dtype)) / jnp.maximum(
+        mean_norm, 1e-12
+    )
+    pts_n = centered * norm_scale
+
     ones = jnp.ones((n,), dtype)
     zeros = jnp.zeros((n, 4), dtype)
-    xh = jnp.concatenate([points, ones[:, None]], axis=-1)  # (N, 4)
-    w = valid.astype(dtype)[:, None]
-    rows_u = jnp.concatenate([xh, zeros[:, :4], -x[:, None] * xh], axis=-1) * w
-    rows_v = jnp.concatenate([zeros[:, :4], xh, -y[:, None] * xh], axis=-1) * w
+    xh = jnp.concatenate([pts_n, ones[:, None]], axis=-1)  # (N, 4)
+    w = wv[:, None]
+    rows_u = jnp.concatenate([xh, zeros, -x[:, None] * xh], axis=-1) * w
+    rows_v = jnp.concatenate([zeros, xh, -y[:, None] * xh], axis=-1) * w
     a = jnp.concatenate([rows_u, rows_v], axis=0)  # (2N, 12)
 
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    p = vt[-1].reshape(3, 4)
+    p_n = vt[-1].reshape(3, 4)
+    # Denormalize: x ~ P_n·(T·X_h) with T = [[s·I, −s·c], [0, 1]].
+    t_mat = jnp.concatenate(
+        [
+            norm_scale * jnp.eye(3, dtype=dtype),
+            (-norm_scale * centroid)[:, None],
+        ],
+        axis=-1,
+    )
+    t_mat = jnp.concatenate(
+        [t_mat, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype)], axis=0
+    )
+    p = p_n @ t_mat
 
+    xh_raw = jnp.concatenate([points, ones[:, None]], axis=-1)
     m = p[:, :3]
-    # Sign: points must have positive depth on average.
-    depth_sign = jnp.sign(jnp.sum((xh @ p[2]) * valid.astype(dtype)))
+    # Sign: points must have positive depth on average (a total choice —
+    # sign() could return 0 on exact cancellation and zero the pose).
+    depth_sum = jnp.sum((xh_raw @ p[2]) * wv)
+    depth_sign = jnp.where(depth_sum >= 0, 1.0, -1.0).astype(dtype)
     m = m * depth_sign
     t_raw = p[:, 3] * depth_sign
 
@@ -85,7 +118,15 @@ def solve_pnp(
         r_new = so3_exp(params[:3]) @ rot
         t_new = t + params[3:]
         xc = points @ r_new.T + t_new
-        z = jnp.where(jnp.abs(xc[:, 2]) < 1e-6, 1e-6, xc[:, 2])
+        # Sign-preserving depth clamp (matches geometry.project): a
+        # point marginally behind the camera must NOT be projected as
+        # if in front — that flips the residual's sign and injects a
+        # wrong-direction row into JᵀJ.
+        z = jnp.where(
+            jnp.abs(xc[:, 2]) < 1e-6,
+            jnp.where(xc[:, 2] < 0, -1e-6, 1e-6),
+            xc[:, 2],
+        )
         u = fx * xc[:, 0] / z + cx
         v = fy * xc[:, 1] / z + cy
         res = jnp.stack([u - uv[:, 0], v - uv[:, 1]], axis=-1)
@@ -104,11 +145,16 @@ def solve_pnp(
 
     def lm_rounds(rot, t, weight_fn, n_iter):
         lam = jnp.asarray(1e-3, dtype)
-        weights = weight_fn(rot, t)
-        cost = jnp.sum(residuals(zero6, rot, t, weights) ** 2)
         for _ in range(n_iter):
             weights = weight_fn(rot, t)
             res = residuals(zero6, rot, t, weights)
+            # Reference cost under the SAME weights as the proposal's —
+            # comparing against a cost carried over from the previous
+            # iteration's weights made the accept test inconsistent
+            # once IRLS re-weighting kicked in (shrinking residuals
+            # raise the weights, so a genuinely improving step could
+            # fail against the stale smaller reference and stall LM).
+            cost = jnp.sum(res * res)
             jac = jax.jacfwd(residuals)(zero6, rot, t, weights)
             jtj = jac.T @ jac
             jtj_d = jtj + lam * jnp.diag(
@@ -121,7 +167,6 @@ def solve_pnp(
             accept = cost_new < cost
             rot = jnp.where(accept, rot_new, rot)
             t = jnp.where(accept, t_new, t)
-            cost = jnp.where(accept, cost_new, cost)
             lam = jnp.clip(jnp.where(accept, lam * 0.33, lam * 8.0), 1e-9, 1e6)
         return rot, t
 

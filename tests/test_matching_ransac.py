@@ -219,3 +219,50 @@ def test_sampson_zero_for_exact_correspondences():
         sampson_error(jnp.asarray(e_true, jnp.float32), rays1, rays2)
     )
     assert err.max() < 1e-8
+
+
+def test_ransac_too_few_valid_reports_zero_inliers():
+    """<8 valid correspondences: the 8-point system is underdetermined;
+    the result must say so (zero inliers) instead of returning a noise
+    pose with a plausible-looking inlier set (round-2 review finding)."""
+    import jax
+
+    from sift_scale_space_extrema_detection_tpu.ops.ransac import (
+        estimate_essential_ransac,
+    )
+
+    rng = np.random.default_rng(11)
+    rays1 = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    rays2 = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    valid = jnp.asarray(np.arange(16) < 5)
+    res = estimate_essential_ransac(
+        rays1, rays2, valid, jax.random.PRNGKey(0), num_hypotheses=32
+    )
+    assert int(res.num_inliers) == 0
+    assert not bool(jnp.any(res.inliers))
+
+
+def test_decompose_essential_batched_proper_rotations():
+    """decompose_essential advertises (..., 3, 3) support; the
+    determinant sign fix must broadcast over a hypothesis batch
+    (round-2 review finding: it only worked unbatched)."""
+    from sift_scale_space_extrema_detection_tpu.ops.ransac import (
+        decompose_essential,
+    )
+    from sift_scale_space_extrema_detection_tpu.sfm.geometry import hat, so3_exp
+
+    rng = np.random.default_rng(12)
+    e_batch = []
+    for i in range(5):
+        r = so3_exp(jnp.asarray(rng.normal(size=3) * 0.4))
+        t = rng.normal(size=3)
+        t = t / np.linalg.norm(t)
+        e_batch.append(np.asarray(hat(jnp.asarray(t)) @ r))
+    e_batch = jnp.asarray(np.stack(e_batch))
+    (r1, r2), t = decompose_essential(e_batch)
+    assert r1.shape == (5, 3, 3) and t.shape == (5, 3)
+    for rs in (r1, r2):
+        dets = np.linalg.det(np.asarray(rs))
+        np.testing.assert_allclose(dets, 1.0, atol=1e-5)
+        for r in np.asarray(rs):
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)

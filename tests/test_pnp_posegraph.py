@@ -169,3 +169,27 @@ def test_pose_graph_zero_weight_edges_ignored():
         jnp.asarray(est_r), jnp.asarray(est_t), bad
     )
     np.testing.assert_allclose(np.asarray(opt_t), ts, atol=1e-4)
+
+
+def test_pnp_dlt_offset_scene_float32():
+    """DLT must survive a scene far from the origin in float32.
+
+    Unnormalized DLT columns span X, 1, and x·X magnitudes; at world
+    coordinates ~1e2 the float32 conditioning destroys the nullspace
+    solve (round-2 review finding). The Hartley-style point
+    normalization makes this work.
+    """
+    rng = np.random.default_rng(7)
+    pts, uv, r_true, t_true = _pnp_problem(rng, noise_px=0.0)
+    offset = np.array([120.0, -80.0, 250.0])
+    pts_off = np.asarray(pts) + offset
+    # Same pixels ↔ camera must compensate: X' = X + o ⇒ t' = t − R·o.
+    t_adj = t_true - r_true @ offset
+    r, t = pnp_dlt(
+        jnp.asarray(pts_off, jnp.float32),
+        jnp.asarray(uv, jnp.float32),
+        jnp.ones(pts.shape[0], bool),
+        K.astype(jnp.float32),
+    )
+    assert _rot_err_deg(r, r_true) < 0.5
+    np.testing.assert_allclose(np.asarray(t), t_adj, rtol=2e-3, atol=5e-3)
