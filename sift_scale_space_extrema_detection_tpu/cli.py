@@ -106,7 +106,6 @@ def main(argv=None) -> int:
     if args.descriptors:
         # Reuse the refined keypoints from detect_from_dog: re-running
         # extrema+refinement per octave here once doubled detection work.
-        from .core.types import Keypoints
         from .ops.descriptor import concat_described, describe_octave
 
         parts = []
@@ -114,21 +113,16 @@ def main(argv=None) -> int:
         for octave, stack in enumerate(scale_space):
             cap = cfg.refine_capacity(octave)
             seg = slice(offset, offset + cap)
-            kp_octave = Keypoints(
-                octave=keypoints.octave[seg],
-                scale_level=keypoints.scale_level[seg],
-                local_y=keypoints.local_y[seg],
-                local_x=keypoints.local_x[seg],
-                abs_y=keypoints.abs_y[seg],
-                abs_x=keypoints.abs_x[seg],
-                abs_sigma=keypoints.abs_sigma[seg],
-                value=keypoints.value[seg],
-                valid=keypoints.valid[seg],
-                reject_reason=keypoints.reject_reason[seg],
-            )
+            # Keypoints is a pytree: one tree.map slices every field
+            # (and keeps tracking the dataclass if fields are added).
+            kp_octave = jax.tree.map(lambda a: a[seg], keypoints)
             parts.append(describe_octave(stack, kp_octave, octave, cfg))
             offset += cap
         described = concat_described(parts)
+        # The headline timing must include descriptor work too —
+        # blocking only on keypoints let the describe kernels run past
+        # the clock.
+        jax.block_until_ready(described)
     jax.block_until_ready(keypoints)
     n_valid = int(np.asarray(jnp.sum(keypoints.valid)))
     t1 = time.perf_counter()

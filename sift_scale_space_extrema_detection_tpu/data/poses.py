@@ -124,16 +124,32 @@ def write_tum_trajectory(
 
 
 def read_tum_trajectory(path: str):
-    """Read a TUM trajectory file → (timestamps, world→camera R, t)."""
+    """Read a TUM trajectory file → (timestamps, world→camera R, t).
+
+    Raises ``ValueError`` naming the offending line for truncated rows
+    (e.g. a partially written export) instead of an opaque ragged-array
+    failure; an all-comment/empty file returns empty arrays.
+    """
     ts, rows = [], []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             vals = [float(v) for v in line.split()]
+            if len(vals) < 8:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 8 fields "
+                    f"(ts tx ty tz qx qy qz qw), got {len(vals)}"
+                )
             ts.append(vals[0])
             rows.append(vals[1:8])
+    if not rows:
+        return (
+            np.zeros(0),
+            np.zeros((0, 3, 3)),
+            np.zeros((0, 3)),
+        )
     rows = np.asarray(rows, np.float64)
     r_cw = quat_to_rotation(rows[:, 3:7])
     rot, t = cam_to_world_to_wc(r_cw, rows[:, 0:3])

@@ -133,6 +133,7 @@ def main(argv=None) -> int:
         from .sfm.evaluate import (
             absolute_trajectory_error,
             relative_pose_error,
+            relative_rotation_error,
         )
 
         ate = float(
@@ -151,9 +152,19 @@ def main(argv=None) -> int:
                 jnp.asarray(seq.gt_translations),
             )
         )
+        rre = float(
+            relative_rotation_error(
+                jnp.asarray(result.rotations),
+                jnp.asarray(seq.gt_rotations),
+            )
+        )
         metrics["ate_rmse"] = round(ate, 6)
-        metrics["rpe_rmse"] = round(rpe, 6)
-        print(f"ATE RMSE: {ate:.4f}  RPE RMSE: {rpe:.4f} (gt units)")
+        metrics["rpe_trans_rmse"] = round(rpe, 6)
+        metrics["rpe_rot_rmse_deg"] = round(np.degrees(rre), 4)
+        print(
+            f"ATE RMSE: {ate:.4f}  RPE trans RMSE: {rpe:.4f} (gt units)  "
+            f"RPE rot RMSE: {np.degrees(rre):.3f} deg"
+        )
     else:
         print("no ground truth available; skipping ATE/RPE")
 

@@ -62,14 +62,55 @@ def absolute_trajectory_error(
     return jnp.sqrt(jnp.mean(err2))
 
 
-def relative_pose_error(est_rotations, est_translations, gt_rotations, gt_translations):
-    """Frame-to-frame relative translation drift RMSE (scale-aligned)."""
+def relative_pose_error(
+    est_rotations,
+    est_translations,
+    gt_rotations,
+    gt_translations,
+    delta: int = 1,
+    with_scale: bool = True,
+):
+    """Translational RPE, TUM ``evaluate_rpe.py`` protocol.
+
+    Per pair ``(i, i+delta)`` the error motion is
+    ``E_i = (Q_i⁻¹ Q_{i+δ})⁻¹ (P_i⁻¹ P_{i+δ})`` (Q ground truth, P
+    estimate, both cam→world); reported value is the RMSE of
+    ``‖trans(E_i)‖``, which reduces to ``‖R_i^est·(c_{i+δ}−c_i)^est −
+    R_i^gt·(c_{i+δ}−c_i)^gt‖`` for world→camera inputs. A monocular
+    estimate is pre-scaled by the Umeyama similarity scale of the
+    ATE alignment (the official script's ``--scale`` argument);
+    ``with_scale=False`` skips that.
+    """
     est_c = camera_centers(est_rotations, est_translations)
     gt_c = camera_centers(gt_rotations, gt_translations)
-    d_est = est_c[1:] - est_c[:-1]
-    d_gt = gt_c[1:] - gt_c[:-1]
-    num = jnp.sum(jnp.sum(d_est * d_gt, axis=-1))
-    den = jnp.maximum(jnp.sum(jnp.sum(d_est * d_est, axis=-1)), 1e-12)
-    s = num / den
-    err2 = jnp.sum((s * d_est - d_gt) ** 2, axis=-1)
+    if with_scale:
+        s, _, _ = umeyama_alignment(est_c, gt_c)
+    else:
+        s = jnp.asarray(1.0, est_c.dtype)
+    tb = s * jnp.einsum(
+        "nij,nj->ni", est_rotations[:-delta], est_c[delta:] - est_c[:-delta]
+    )
+    ta = jnp.einsum(
+        "nij,nj->ni", gt_rotations[:-delta], gt_c[delta:] - gt_c[:-delta]
+    )
+    err2 = jnp.sum((tb - ta) ** 2, axis=-1)
     return jnp.sqrt(jnp.mean(err2))
+
+
+def relative_rotation_error(
+    est_rotations, gt_rotations, delta: int = 1
+):
+    """Rotational RPE (radians, RMSE): angle of ``rot(E_i)`` per pair
+    ``(i, i+delta)`` under the TUM protocol (scale-free)."""
+    rb = jnp.einsum(
+        "nij,nkj->nik", est_rotations[:-delta], est_rotations[delta:]
+    )  # R_i·R_{i+δ}ᵀ (estimate)
+    ra = jnp.einsum(
+        "nij,nkj->nik", gt_rotations[:-delta], gt_rotations[delta:]
+    )
+    rel = jnp.einsum("nji,njk->nik", ra, rb)  # Raᵀ·Rb
+    cos = jnp.clip(
+        (jnp.trace(rel, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0
+    )
+    ang = jnp.arccos(cos)
+    return jnp.sqrt(jnp.mean(ang * ang))

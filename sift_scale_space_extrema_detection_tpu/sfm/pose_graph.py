@@ -107,10 +107,9 @@ def optimize_pose_graph(
             res = _edge_residual(
                 zero6, zero6, rots[s], ts[s], rots[d], ts[d], rr, rt
             )
-            ji = jax.jacfwd(_edge_residual, argnums=0)(
-                zero6, zero6, rots[s], ts[s], rots[d], ts[d], rr, rt
-            )
-            jj = jax.jacfwd(_edge_residual, argnums=1)(
+            # One jacfwd call yields both block Jacobians (a separate
+            # call per argnum re-evaluated the residual chain twice).
+            ji, jj = jax.jacfwd(_edge_residual, argnums=(0, 1))(
                 zero6, zero6, rots[s], ts[s], rots[d], ts[d], rr, rt
             )
             return res * w, ji * w, jj * w
@@ -134,28 +133,29 @@ def optimize_pose_graph(
         ) + jax.ops.segment_sum(
             -jnp.einsum("eki,ek->ei", jj, res), edges.dst, n
         )
-        # Off-diagonal blocks into the dense (N,6,N,6) Hessian.
+        # Off-diagonal blocks scatter-added straight into the dense
+        # (N,6,N,6) Hessian (duplicate (src,dst) pairs accumulate) —
+        # the segment_sum-over-pair formulation materialized an
+        # (N², 6, 6) intermediate, 36·N² floats per LM iteration.
         h_ij = jnp.einsum("eki,ekj->eij", ji, jj)  # (E, 6, 6)
-        pair = edges.src * n + edges.dst
-        # (n², 6, 6) factors as (n, n, 6, 6); transpose into the dense
-        # (node, 6, node, 6) layout — a direct reshape would scramble.
-        off = (
-            jax.ops.segment_sum(h_ij, pair, n * n)
-            .reshape(n, n, 6, 6)
-            .transpose(0, 2, 1, 3)
-        )
-
         h = jnp.zeros((n, 6, n, 6), dtype)
         h = h.at[jnp.arange(n), :, jnp.arange(n), :].add(h_ii + h_jj)
-        h = h + off + jnp.transpose(off, (2, 3, 0, 1))
+        h = h.at[edges.src, :, edges.dst, :].add(h_ij)
+        h = h.at[edges.dst, :, edges.src, :].add(
+            jnp.transpose(h_ij, (0, 2, 1))
+        )
         return h, b
 
-    lam = jnp.asarray(1e-4, dtype)
-    cost = cost_of(rotations, translations)
+    lam0 = jnp.asarray(1e-4, dtype)
+    cost0 = cost_of(rotations, translations)
     eye6 = jnp.eye(6, dtype=dtype)
     free = (jnp.arange(n) >= 1).astype(dtype)
 
-    for _ in range(num_iterations):
+    # lax.fori_loop, not an unrolled Python loop: the body (vmapped
+    # jacfwd + dense solve) is shape-invariant, and unrolling compiled
+    # num_iterations copies of it into one XLA program.
+    def lm_step(_, carry):
+        rotations, translations, cost, lam = carry
         h, b = build_system(rotations, translations)
         diag = jnp.diagonal(
             h[jnp.arange(n), :, jnp.arange(n), :], axis1=-2, axis2=-1
@@ -185,5 +185,9 @@ def optimize_pose_graph(
         translations = jnp.where(accept, t_new, translations)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 6.0), 1e-9, 1e5)
+        return rotations, translations, cost, lam
 
+    rotations, translations, cost, _ = jax.lax.fori_loop(
+        0, num_iterations, lm_step, (rotations, translations, cost0, lam0)
+    )
     return rotations, translations, cost

@@ -11,10 +11,33 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_CHECKPOINTER = None
+
+
+def _orbax():
+    """One cached StandardCheckpointer, or None when orbax is absent.
+
+    The import decides the FORMAT once per process — a save must never
+    silently fall back to the other format mid-run, or a later restore
+    can pick up a stale artifact of the previous format (save errors
+    propagate instead). StandardCheckpointer spawns async-save worker
+    threads, so constructing a fresh one per rolling checkpoint would
+    leak them.
+    """
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError:
+            return None
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
 
 
 def _flatten_with_paths(tree):
@@ -25,29 +48,34 @@ def _flatten_with_paths(tree):
 
 
 def save_checkpoint(path: str, tree, step: int | None = None) -> str:
-    """Save a pytree checkpoint; returns the directory written."""
-    os.makedirs(path, exist_ok=True)
-    try:
-        import orbax.checkpoint as ocp
+    """Save a pytree checkpoint; returns the path written.
 
-        ckpt_path = os.path.abspath(
-            os.path.join(path, f"step_{step}" if step is not None else "state")
-        )
-        checkpointer = ocp.StandardCheckpointer()
+    Format is orbax when installed, else npz+JSON; any artifact of the
+    OTHER format under the same name is removed after a successful save
+    so a resume can never read a stale checkpoint.
+    """
+    os.makedirs(path, exist_ok=True)
+    name = f"step_{step}" if step is not None else "state"
+    ckpt_path = os.path.abspath(os.path.join(path, name))
+    checkpointer = _orbax()
+    if checkpointer is not None:
         checkpointer.save(ckpt_path, tree, force=True)
         checkpointer.wait_until_finished()
+        for stale in (ckpt_path + ".npz", ckpt_path + ".json"):
+            if os.path.exists(stale):
+                os.remove(stale)
         return ckpt_path
-    except Exception:
-        # numpy fallback: leaves as npz + structure as JSON.
-        paths, leaves, _ = _flatten_with_paths(tree)
-        name = f"step_{step}" if step is not None else "state"
-        np.savez(
-            os.path.join(path, name + ".npz"),
-            **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
-        )
-        with open(os.path.join(path, name + ".json"), "w") as f:
-            json.dump({"paths": paths}, f)
-        return os.path.join(path, name + ".npz")
+    # numpy fallback: leaves as npz + structure as JSON.
+    paths, leaves, _ = _flatten_with_paths(tree)
+    np.savez(
+        ckpt_path + ".npz",
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    with open(ckpt_path + ".json", "w") as f:
+        json.dump({"paths": paths}, f)
+    if os.path.isdir(ckpt_path):
+        shutil.rmtree(ckpt_path)
+    return ckpt_path + ".npz"
 
 
 def restore_checkpoint_flat(path: str) -> dict:
@@ -56,16 +84,17 @@ def restore_checkpoint_flat(path: str) -> dict:
     Returns ``{key: np.ndarray}``. Used by SLAM resume (models/slam.py)
     where leaf shapes (observation counts, frame index) are unknown
     until the checkpoint is read, so no template pytree can exist.
+    Restore errors propagate — a failed orbax restore must not be
+    masked by a (likely nonexistent) npz fallback.
     """
     if os.path.isdir(path):
-        try:
-            import orbax.checkpoint as ocp
-
-            checkpointer = ocp.StandardCheckpointer()
-            restored = checkpointer.restore(os.path.abspath(path))
-            return {k: np.asarray(v) for k, v in dict(restored).items()}
-        except Exception:
-            pass
+        checkpointer = _orbax()
+        if checkpointer is None:
+            raise RuntimeError(
+                f"{path} is an orbax checkpoint but orbax is not installed"
+            )
+        restored = checkpointer.restore(os.path.abspath(path))
+        return {k: np.asarray(v) for k, v in dict(restored).items()}
     npz = path if path.endswith(".npz") else path + ".npz"
     data = np.load(npz)
     with open(npz[:-4] + ".json") as f:
@@ -80,15 +109,15 @@ def restore_checkpoint_flat(path: str) -> dict:
 
 def restore_checkpoint(path: str, like):
     """Restore a checkpoint into the structure of ``like`` (a template
-    pytree with correctly-shaped leaves)."""
+    pytree with correctly-shaped leaves). Errors propagate (see
+    :func:`restore_checkpoint_flat`)."""
     if os.path.isdir(path):
-        try:
-            import orbax.checkpoint as ocp
-
-            checkpointer = ocp.StandardCheckpointer()
-            return checkpointer.restore(os.path.abspath(path), target=like)
-        except Exception:
-            pass
+        checkpointer = _orbax()
+        if checkpointer is None:
+            raise RuntimeError(
+                f"{path} is an orbax checkpoint but orbax is not installed"
+            )
+        return checkpointer.restore(os.path.abspath(path), target=like)
     npz = path if path.endswith(".npz") else path + ".npz"
     data = np.load(npz)
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]

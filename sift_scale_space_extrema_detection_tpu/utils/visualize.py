@@ -110,7 +110,10 @@ def draw_keypoints(
         # Circle of radius absoluteSigma (reference/main.js:338-369).
         n = max(12, int(2 * np.pi * max(r, 1.0)))
         ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-        py = np.clip(np.round(cy + r * np.sin(ang)).astype(int), 0, h - 1)
-        px = np.clip(np.round(cx + r * np.cos(ang)).astype(int), 0, w - 1)
-        rgb[py, px] = (0, 255, 0)
+        py = np.round(cy + r * np.sin(ang)).astype(int)
+        px = np.round(cx + r * np.cos(ang)).astype(int)
+        # Drop out-of-image samples (clipping smeared partial circles
+        # into streaks along the borders).
+        ok = (py >= 0) & (py < h) & (px >= 0) & (px < w)
+        rgb[py[ok], px[ok]] = (0, 255, 0)
     return rgb.astype(np.uint8)
