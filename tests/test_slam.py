@@ -189,3 +189,34 @@ def test_slam_distributed_mesh_matches_single_device():
         dist.translations, single.translations, atol=5e-3
     )
     assert abs(ate_s - ate_d) < 1e-3
+
+
+def test_rpe_protocol_properties():
+    """TUM-protocol RPE: zero for identical trajectories, and invariant
+    to a global similarity transform of the estimate (relative motions
+    are unchanged by a world-frame gauge; the Umeyama scale handles the
+    monocular scale factor)."""
+    from sift_scale_space_extrema_detection_tpu.sfm.evaluate import (
+        camera_centers,
+        relative_pose_error,
+        relative_rotation_error,
+    )
+    from sift_scale_space_extrema_detection_tpu.sfm import geometry as geo
+
+    rng = np.random.default_rng(8)
+    seq = orbit_sequence(rng, num_frames=10, num_landmarks=30)
+    rots = jnp.asarray(seq.rotations)
+    ts = jnp.asarray(seq.translations)
+    assert float(relative_pose_error(rots, ts, rots, ts)) < 1e-9
+    assert float(relative_rotation_error(rots, rots)) < 1e-6  # arccos ~ sqrt(eps) near 1
+
+    # Global similarity gauge: c' = s·G·c + g, R' = R·Gᵀ.
+    g_rot = jnp.asarray(geo.so3_exp(jnp.asarray([0.4, -0.2, 0.7])))
+    g_t = jnp.asarray([3.0, -1.0, 2.0])
+    s = 2.7
+    centers = camera_centers(rots, ts)
+    c_new = s * centers @ g_rot.T + g_t
+    r_new = rots @ g_rot.T
+    t_new = -jnp.einsum("nij,nj->ni", r_new, c_new)
+    assert float(relative_pose_error(r_new, t_new, rots, ts)) < 1e-6
+    assert float(relative_rotation_error(r_new, rots)) < 1e-6
