@@ -35,14 +35,20 @@ def _load_library():
     if not os.path.exists(_LIB_PATH):
         src = os.path.join(_NATIVE_DIR, "sift_io.cpp")
         os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+        # Link to a process-unique temp path and rename into place:
+        # rename is atomic on the same filesystem, so a concurrent
+        # process (this repo deliberately spawns multi-process fake
+        # clusters) can never dlopen a partially written library.
+        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-pthread",
-                "-o", _LIB_PATH, src, "-lz",
+                "-o", tmp, src, "-lz",
             ],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.sift_io_probe.restype = ctypes.c_int
     lib.sift_io_probe.argtypes = [

@@ -44,6 +44,13 @@ def bilinear_sample(image: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array
     broadcastable shape; returns samples of that shape.
     """
     h, w = image.shape[-2], image.shape[-1]
+    # Clamp the COORDINATES, not just the integer corners: clipping
+    # corners after taking the fractional part left fy/fx nonzero for
+    # negative positions, blending border and interior pixels instead
+    # of returning the border value (asymmetric with the positive side,
+    # which saturated correctly).
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     fy = ys - y0

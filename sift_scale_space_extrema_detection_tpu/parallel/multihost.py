@@ -53,6 +53,14 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is not None or process_id is not None:
+        # Silently dropping these would let the process initialize as a
+        # standalone single-process "cluster" and compute on a fraction
+        # of the data with no rendezvous.
+        raise ValueError(
+            "num_processes/process_id were given without "
+            "coordinator_address — the fake-cluster mode needs all three"
+        )
     jax.distributed.initialize(**kwargs)
 
 
@@ -67,12 +75,13 @@ def put_global(x, mesh: Mesh, spec: P):
     Every process must hold identical host data (the replicated-input
     SPMD pattern); each contributes the shards its devices own.
     """
-    import jax.numpy as jnp
-
     x = np.asarray(x)
     sharding = NamedSharding(mesh, spec)
+    # Return the numpy slice directly: wrapping it in jnp.asarray
+    # committed every shard to the default device first, so each shard
+    # took a default-device hop before landing on its owner.
     return jax.make_array_from_callback(
-        x.shape, sharding, lambda idx: jnp.asarray(x[idx])
+        x.shape, sharding, lambda idx: x[idx]
     )
 
 

@@ -49,11 +49,11 @@ def checked(fn, errors=None):
 def assert_finite(tree, name: str = "value") -> None:
     """Raise ``FloatingPointError`` if any leaf contains NaN/Inf."""
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        if not hasattr(leaf, "dtype") or not jnp.issubdtype(
-            jnp.asarray(leaf).dtype, jnp.floating
-        ):
-            continue
+        # Convert FIRST: a bare Python float('nan') has no .dtype and
+        # must not slip through the floating-point check.
         arr = np.asarray(leaf)
+        if not np.issubdtype(arr.dtype, np.floating):
+            continue
         if not np.isfinite(arr).all():
             where = "/".join(str(k) for k in path)
             n_bad = int((~np.isfinite(arr)).sum())

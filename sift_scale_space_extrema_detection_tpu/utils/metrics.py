@@ -28,11 +28,20 @@ from ..core.types import NUM_REJECT_REASONS, REJECT_REASON_NAMES
 
 
 def device_sync(tree) -> float:
-    """Force execution to finish: scalar reduction fetched to host."""
+    """Force execution to finish: scalar reduction fetched to host.
+
+    EVERY array leaf is reduced — syncing only the first leaf left
+    pending kernels behind other leaves (host numpy mixed with device
+    arrays, or differently-dispatched outputs) outside the measured
+    window.
+    """
     leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
     if not leaves:
         return 0.0
-    return float(np.asarray(jnp.sum(leaves[0].astype(jnp.float32))))
+    total = 0.0
+    for leaf in leaves:
+        total += float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+    return total
 
 
 @dataclass
