@@ -105,6 +105,11 @@ def main() -> None:
         action="store_true",
         help="also time candidate selection and refinement separately",
     )
+    ap.add_argument(
+        "--unified",
+        action="store_true",
+        help="one cross-octave refinement pass (cfg.unified_refine)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -121,6 +126,10 @@ def main() -> None:
 
     batch, h, w = args.batch, 480, 640
     cfg = SiftConfig(num_octaves=4, scales_per_octave=5, max_keypoints_per_trio=512)
+    if args.unified:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, unified_refine=True)
     images = jax.device_put(make_batch(batch, h, w))
 
     def sync_scalar(x) -> float:

@@ -58,6 +58,14 @@ class SiftConfig:
     # iterations (most candidates finish in iteration 1). 1.0 disables.
     refine_active_compaction: float = 0.35
 
+    # Refine ALL octaves' candidates in ONE pass over a concatenated
+    # flat DoG buffer (per-candidate octave geometry gathered from
+    # lookup tables) instead of one pass per octave — 4x fewer
+    # gather/compaction ops at identical numerics. Opt-in pending TPU
+    # A/B; requires every octave's DoG to share one dtype (else the
+    # per-octave path runs regardless).
+    unified_refine: bool = False
+
     # Floor for the per-octave capacity schedule (octave o gets
     # ``max(min_keypoints_per_trio, max_keypoints_per_trio >> o)`` slots:
     # octave o has 4^-o as many pixels, so equal capacity would waste

@@ -38,7 +38,7 @@ from ..ops.extrema import (
 from ..ops.gaussian import blur_exact, blur_matmul, blur_separable
 from ..ops.pallas.blur import blur_pallas
 from ..ops.pallas.octave import fused_octave, fused_octave_supported
-from ..ops.refine import refine_keypoints
+from ..ops.refine import refine_keypoints, refine_keypoints_multi
 from ..ops.resize import downsample2x_nn, upsample2x_nn
 
 BLUR_STRATEGIES: dict[str, Callable] = {
@@ -191,7 +191,7 @@ def detect_from_dog(
     if masks is None:
         masks = [None] * len(dog)
     extrema = []
-    keypoints = []
+    sels = []
     for octave, (d, m) in enumerate(zip(dog, masks)):
         if m is None:
             e = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
@@ -207,7 +207,13 @@ def detect_from_dog(
                 m, d, cfg, cfg.refine_capacity(octave)
             )
         extrema.append(e)
-        keypoints.append(refine_keypoints(d, sel, octave, cfg))
+        sels.append(sel)
+    if cfg.unified_refine and len({d.dtype for d in dog}) == 1:
+        return refine_keypoints_multi(dog, sels, cfg), extrema
+    keypoints = [
+        refine_keypoints(d, sel, octave, cfg)
+        for octave, (d, sel) in enumerate(zip(dog, sels))
+    ]
     return concat_keypoints(keypoints), extrema
 
 

@@ -47,14 +47,19 @@ from ..core.types import (
 JS_EPSILON = 2.0 ** -52  # Number.EPSILON
 
 
-def _refine_vectorized(
-    dog: jax.Array,
+def _refine_core(
+    dog_flat: jax.Array,
+    d_scales: int,
+    h,
+    w,
+    base_off,
+    delta,
+    sigma_coeff,
     s0: jax.Array,
     m0: jax.Array,
     n0: jax.Array,
     value: jax.Array,
     valid: jax.Array,
-    octave: int,
     cfg: SiftConfig,
 ):
     """Vectorized Newton refinement over all candidate slots at once.
@@ -66,64 +71,79 @@ def _refine_vectorized(
     (measured ~8.1 s of the 9.6 s frontend batch). Iterations unroll
     statically (``max_refine_iterations`` = 5). Float op order per
     element matches the reference exactly (see module docstring).
+
+    ``h``/``w``/``base_off``/``delta``/``sigma_coeff`` may be scalars
+    (single-octave callers) or per-slot ``(N,)`` arrays: the unified
+    path (:func:`refine_keypoints_multi`) concatenates every octave's
+    candidates over one flat multi-octave DoG buffer and supplies each
+    slot's octave geometry — the elementwise math is identical either
+    way, so the two paths produce bit-equal results.
     """
     # Newton math always runs at >= f32: the bf16-compressed DoG mode
     # (ops/pallas/octave.py dog_dtype) quantizes only the STORED planes;
     # gathered neighborhoods are widened right after the gather.
-    dtype = jnp.float32 if dog.dtype == jnp.bfloat16 else dog.dtype
-    d_scales, h, w = dog.shape
+    dtype = jnp.float32 if dog_flat.dtype == jnp.bfloat16 else dog_flat.dtype
     thr = cfg.contrast_threshold_scaled
     edge_thr = cfg.edge_threshold
-    delta = math.pow(2.0, octave - 1)
-    sigma_coeff = (delta / cfg.min_interpixel_distance) * cfg.min_blur_level
+    n_slots = s0.shape[0]
 
-    dog_flat = dog.reshape(-1)
-
-    # Flat offsets of the 3×3×3 neighborhood, ordered (ds, dm, dn).
-    offsets = jnp.asarray(
-        [
-            (ds * h + dm) * w + dn
-            for ds in (-1, 0, 1)
-            for dm in (-1, 0, 1)
-            for dn in (-1, 0, 1)
-        ],
-        jnp.int32,
+    # Geometry lives in the iteration state as (N,) arrays so the
+    # active-set compaction below gathers it alongside the positions.
+    geom = dict(
+        h=jnp.broadcast_to(jnp.asarray(h, jnp.int32), (n_slots,)),
+        w=jnp.broadcast_to(jnp.asarray(w, jnp.int32), (n_slots,)),
+        off=jnp.broadcast_to(jnp.asarray(base_off, jnp.int32), (n_slots,)),
+        delta=jnp.broadcast_to(jnp.asarray(delta, dtype), (n_slots,)),
+        sigc=jnp.broadcast_to(jnp.asarray(sigma_coeff, dtype), (n_slots,)),
     )
 
-    def cube_at(s, m, n):
-        # Positions are always within the valid interior while active
-        # (enforced by the out-of-bounds test); clip for the masked-off
-        # lanes so indices stay legal. One flat 27-element ``jnp.take``
-        # per iteration: measured alternatives were strictly worse on
-        # TPU — per-keypoint ``dynamic_slice`` under vmap ~40×, and a
-        # ``lax.gather`` of three (1,3,3) slices ~13× (multi-dim slice
-        # gathers lower to serial row fetches).
-        sc = jnp.clip(s, 1, d_scales - 2)
-        mc = jnp.clip(m, 1, h - 2)
-        nc = jnp.clip(n, 1, w - 2)
-        base = (sc * h + mc) * w + nc
-        vals = jnp.take(dog_flat, base[:, None] + offsets[None, :], axis=0)
-        return vals.astype(dtype)  # (N, 27), index (a,b,c) -> 9a+3b+c
+    # 3x3x3 neighborhood deltas, ordered (ds, dm, dn): index 9a+3b+c.
+    ds_ = jnp.asarray([a for a in (-1, 0, 1) for _ in range(9)], jnp.int32)
+    dm_ = jnp.asarray(
+        [b for _ in range(3) for b in (-1, 0, 1) for _ in range(3)],
+        jnp.int32,
+    )
+    dn_ = jnp.asarray([c for _ in range(9) for c in (-1, 0, 1)], jnp.int32)
 
-    value = value.astype(dtype)
-    zero = jnp.zeros_like(value)
+    zero = jnp.zeros((n_slots,), dtype)
     state = dict(
         s=s0.astype(jnp.int32),
         m=m0.astype(jnp.int32),
         n=n0.astype(jnp.int32),
-        value=value,
+        value=value.astype(dtype),
         done=~valid,
         reason=jnp.where(valid, REJECT_MAX_ITERATIONS, -1).astype(jnp.int32),
         abs_y=zero,
         abs_x=zero,
         abs_sigma=zero,
         omega=zero,
+        **geom,
     )
 
     def step(c):
         s, m, n = c["s"], c["m"], c["n"]
         value = c["value"]
-        cube = cube_at(s, m, n)
+        hh, ww, off = c["h"], c["w"], c["off"]
+
+        # Positions are always within the valid interior while active
+        # (enforced by the out-of-bounds test); clip for the masked-off
+        # lanes so indices stay legal. One flat 27-element ``jnp.take``
+        # per step: measured alternatives were strictly worse on TPU —
+        # per-keypoint ``dynamic_slice`` under vmap ~40x, and a
+        # ``lax.gather`` of three (1,3,3) slices ~13x (multi-dim slice
+        # gathers lower to serial row fetches).
+        sc = jnp.clip(s, 1, d_scales - 2)
+        mc = jnp.clip(m, 1, hh - 2)
+        nc = jnp.clip(n, 1, ww - 2)
+        base = off + (sc * hh + mc) * ww + nc
+        offsets = (
+            ds_[None, :] * (hh * ww)[:, None]
+            + dm_[None, :] * ww[:, None]
+            + dn_[None, :]
+        )  # (N, 27)
+        cube = jnp.take(dog_flat, base[:, None] + offsets, axis=0).astype(
+            dtype
+        )
         v = lambda a, b, cc: cube[:, 9 * a + 3 * b + cc]
 
         ctr = v(1, 1, 1)
@@ -189,9 +209,9 @@ def _refine_vectorized(
             (new_s < 1)
             | (new_s >= d_scales - 1)
             | (new_m < 1)
-            | (new_m >= h - 1)
+            | (new_m >= hh - 1)
             | (new_n < 1)
-            | (new_n >= w - 1)
+            | (new_n >= ww - 1)
         )
 
         active = ~c["done"]
@@ -214,21 +234,21 @@ def _refine_vectorized(
         reason = jnp.where(finish_oob, REJECT_OUT_OF_BOUNDS, reason)
 
         record = finish_converged & accepted
-        abs_y = jnp.where(record, delta * (a1 + mf), c["abs_y"])
-        abs_x = jnp.where(record, delta * (a2 + nf), c["abs_x"])
+        abs_y = jnp.where(record, c["delta"] * (a1 + mf), c["abs_y"])
+        abs_x = jnp.where(record, c["delta"] * (a2 + nf), c["abs_x"])
         abs_sigma = jnp.where(
             record,
-            sigma_coeff * jnp.exp2((a0 + sf) / cfg.scales_per_octave),
+            c["sigc"] * jnp.exp2((a0 + sf) / cfg.scales_per_octave),
             c["abs_sigma"],
         )
         omega_out = jnp.where(record, omega, c["omega"])
 
         advance = stepping & ~oob
-        return dict(
+        out = dict(c)
+        out.update(
             s=jnp.where(advance, new_s, s),
             m=jnp.where(advance, new_m, m),
             n=jnp.where(advance, new_n, n),
-            value=value,
             done=c["done"] | finish_singular | finish_converged | finish_oob,
             reason=reason,
             abs_y=abs_y,
@@ -236,20 +256,21 @@ def _refine_vectorized(
             abs_sigma=abs_sigma,
             omega=omega_out,
         )
+        return out
 
     state = step(state)
     remaining = cfg.max_refine_iterations - 1
-    n_slots = state["s"].shape[0]
     active_cap = max(64, int(n_slots * cfg.refine_active_compaction))
     if remaining > 0 and active_cap < n_slots:
         # Most candidates finish in the first Newton iteration (converge,
         # reject, or leave the volume); iterations 2..5 only need the
-        # survivors. Pack the still-active slots into a smaller buffer,
-        # iterate there, and scatter the results back. Actives beyond
-        # ``active_cap`` (never observed at realistic densities; the cap
-        # is a config knob) simply keep their REJECT_MAX_ITERATIONS
-        # fate. Padding lanes reuse slot 0 and are marked done, so the
-        # write-back stores unchanged values for them.
+        # survivors. Pack the still-active slots into a smaller buffer
+        # (their octave geometry travels with them), iterate there, and
+        # scatter the results back. Actives beyond ``active_cap`` (never
+        # observed at realistic densities; the cap is a config knob)
+        # simply keep their REJECT_MAX_ITERATIONS fate. Padding lanes
+        # reuse slot 0 and are marked done, so the write-back stores
+        # unchanged values for them.
         sel_read, ok, _ = first_k_set_indices(~state["done"], active_cap)
         sub = {k: v[sel_read] for k, v in state.items()}
         sub["done"] = sub["done"] | ~ok
@@ -269,24 +290,20 @@ def _refine_vectorized(
     return state
 
 
-def refine_keypoints(
-    dog: jax.Array, extrema: Extrema, octave: int, cfg: SiftConfig
-) -> Keypoints:
-    """Refine all candidate slots of one octave. dog: ``(D, H, W)``."""
-    refined = _refine_vectorized(
-        dog,
-        extrema.scale_level,
-        extrema.y,
-        extrema.x,
-        extrema.value,
-        extrema.valid,
-        octave,
-        cfg,
-    )
+def _octave_geometry(octave: int, cfg: SiftConfig):
+    """(delta, sigma_coeff) for an octave (reference/background.js:610-614)."""
+    delta = math.pow(2.0, octave - 1)
+    return delta, (delta / cfg.min_interpixel_distance) * cfg.min_blur_level
 
+
+def _keypoints_from_state(refined, octave) -> Keypoints:
     reason = refined["reason"]
     return Keypoints(
-        octave=jnp.full_like(reason, octave),
+        octave=(
+            jnp.full_like(reason, octave)
+            if isinstance(octave, int)
+            else octave.astype(reason.dtype)
+        ),
         scale_level=refined["s"],
         local_y=refined["m"],
         local_x=refined["n"],
@@ -297,3 +314,82 @@ def refine_keypoints(
         valid=reason == ACCEPTED,
         reject_reason=reason,
     )
+
+
+def refine_keypoints(
+    dog: jax.Array, extrema: Extrema, octave: int, cfg: SiftConfig
+) -> Keypoints:
+    """Refine all candidate slots of one octave. dog: ``(D, H, W)``."""
+    d_scales, h, w = dog.shape
+    delta, sigma_coeff = _octave_geometry(octave, cfg)
+    refined = _refine_core(
+        dog.reshape(-1),
+        d_scales,
+        h,
+        w,
+        0,
+        delta,
+        sigma_coeff,
+        extrema.scale_level,
+        extrema.y,
+        extrema.x,
+        extrema.value,
+        extrema.valid,
+        cfg,
+    )
+    return _keypoints_from_state(refined, octave)
+
+
+def refine_keypoints_multi(
+    dogs: list[jax.Array], extrema_list: list[Extrema], cfg: SiftConfig
+) -> Keypoints:
+    """ONE refinement pass over every octave's candidates.
+
+    Concatenates the flattened per-octave DoG volumes into a single
+    buffer and all octaves' candidate slots into one state vector whose
+    per-slot octave geometry (plane dims, flat offset, coordinate
+    scale) is gathered from tables — 1/num_octaves the gather and
+    compaction op count of the per-octave path at bit-identical
+    numerics (same elementwise ops per slot). Requires every octave's
+    DoG to share one dtype. Slot order equals
+    ``concat_keypoints([refine_keypoints(o) for o])``.
+    """
+    assert len({d.dtype for d in dogs}) == 1, "mixed DoG dtypes"
+    d_scales = dogs[0].shape[0]
+    dog_cat = jnp.concatenate([d.reshape(-1) for d in dogs])
+    dtype = (
+        jnp.float32 if dogs[0].dtype == jnp.bfloat16 else dogs[0].dtype
+    )
+
+    hs, ws, offs, deltas, sigcs, octs = [], [], [], [], [], []
+    flat_off = 0
+    for octave, (d, e) in enumerate(zip(dogs, extrema_list)):
+        _, h, w = d.shape
+        n = e.y.shape[0]
+        delta, sigc = _octave_geometry(octave, cfg)
+        hs.append(jnp.full((n,), h, jnp.int32))
+        ws.append(jnp.full((n,), w, jnp.int32))
+        offs.append(jnp.full((n,), flat_off, jnp.int32))
+        deltas.append(jnp.full((n,), delta, dtype))
+        sigcs.append(jnp.full((n,), sigc, dtype))
+        octs.append(jnp.full((n,), octave, jnp.int32))
+        flat_off += d_scales * h * w
+
+    refined = _refine_core(
+        dog_cat,
+        d_scales,
+        jnp.concatenate(hs),
+        jnp.concatenate(ws),
+        jnp.concatenate(offs),
+        jnp.concatenate(deltas),
+        jnp.concatenate(sigcs),
+        jnp.concatenate([e.scale_level for e in extrema_list]),
+        jnp.concatenate([e.y for e in extrema_list]),
+        jnp.concatenate([e.x for e in extrema_list]),
+        jnp.concatenate(
+            [e.value.astype(dtype) for e in extrema_list]
+        ),
+        jnp.concatenate([e.valid for e in extrema_list]),
+        cfg,
+    )
+    return _keypoints_from_state(refined, jnp.concatenate(octs))

@@ -267,3 +267,49 @@ def test_per_keypoint_decision_parity(jax_dog, jax_detection, oracle_result):
         offset += cap
     assert checked == len(decisions)
     assert checked > 20
+
+
+def test_unified_refine_matches_per_octave_path():
+    """cfg.unified_refine: one cross-octave refinement pass must equal
+    the per-octave path bit-for-bit (same elementwise ops per slot,
+    same slot order) — on both the XLA scan path and the fused
+    mask path (interpret mode)."""
+    import dataclasses
+
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        build_pyramid_fused,
+        detect,
+        detect_from_dog,
+    )
+
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (
+        0.4
+        + 0.25 * np.sin(xx / 5) * np.cos(yy / 7)
+        + 0.3 * np.exp(-((yy - 32) ** 2 + (xx - 32) ** 2) / 30.0)
+    )
+    img = jnp.asarray(
+        np.clip(img + 0.04 * rng.standard_normal((64, 64)), 0, 1),
+        jnp.float32,
+    )
+    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=128)
+    cfg_u = dataclasses.replace(cfg, unified_refine=True)
+
+    kp_a, _ = detect(img, cfg)
+    kp_b, _ = detect(img, cfg_u)
+    for f in ("octave", "scale_level", "local_y", "local_x", "abs_y",
+              "abs_x", "abs_sigma", "value", "valid", "reject_reason"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_a, f)), np.asarray(getattr(kp_b, f)), f
+        )
+
+    _, dogs, masks = build_pyramid_fused(
+        img, cfg, emit_scales=False, emit_masks=True, interpret=True
+    )
+    kp_c, _ = detect_from_dog(dogs, cfg, masks)
+    kp_d, _ = detect_from_dog(dogs, cfg_u, masks)
+    for f in ("abs_x", "abs_y", "abs_sigma", "valid", "reject_reason"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_c, f)), np.asarray(getattr(kp_d, f)), f
+        )
