@@ -35,7 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--blur",
         default="separable",
-        choices=["exact", "separable", "matmul", "pallas"],
+        choices=["exact", "separable", "matmul", "pallas", "fused",
+                 "fused_bf16"],
+        help="fused/fused_bf16 are the production TPU whole-octave "
+        "kernel paths (XLA fallback off-TPU)",
     )
     p.add_argument(
         "--float64",
@@ -99,9 +102,19 @@ def main(argv=None) -> int:
     image = jnp.asarray(gray)
 
     t0 = time.perf_counter()
-    scale_space = frontend.build_scale_space(image, cfg, args.blur)
-    dog = frontend.build_dog(scale_space)
-    keypoints, extrema = frontend.detect_from_dog(dog, cfg)
+    if args.blur in ("fused", "fused_bf16"):
+        scale_space, dog, masks = frontend.build_pyramid_fused(
+            image,
+            cfg,
+            emit_scales=True,
+            emit_masks=True,
+            dog_dtype=jnp.bfloat16 if args.blur == "fused_bf16" else None,
+        )
+    else:
+        scale_space = frontend.build_scale_space(image, cfg, args.blur)
+        dog = frontend.build_dog(scale_space)
+        masks = None
+    keypoints, extrema = frontend.detect_from_dog(dog, cfg, masks)
     described = None
     if args.descriptors:
         # Reuse the refined keypoints from detect_from_dog: re-running
@@ -223,7 +236,11 @@ def main(argv=None) -> int:
         for o, d in enumerate(dog):
             vis.save_png(
                 os.path.join(args.outdir, f"dog_octave{o}.png"),
-                vis.gallery_image(np.asarray(d), normalize="sigmoid"),
+                # float32 first: bf16-stored DoG (fused_bf16) reaches
+                # numpy as an ml_dtypes array the display math chokes on.
+                vis.gallery_image(
+                    np.asarray(d.astype(jnp.float32)), normalize="sigmoid"
+                ),
             )
         # Candidate-marker galleries: yellow = candidates, translucent
         # red = low-contrast pre-filter rejects, painted onto each
