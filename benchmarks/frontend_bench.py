@@ -110,6 +110,13 @@ def main() -> None:
         action="store_true",
         help="one cross-octave refinement pass (cfg.unified_refine)",
     )
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="dump a jax.profiler (Perfetto) trace of one timed "
+        "iteration to DIR",
+    )
     args = ap.parse_args()
 
     import jax
@@ -147,6 +154,11 @@ def main() -> None:
     # have their own first-call compile cost (~190 ms once) that would
     # pollute a short timed loop.
     n_kp = int(sync_scalar(jnp.sum(kp.valid.astype(jnp.int32))))
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            kp, _ = detect_batched_jit(images, cfg, args.blur)
+            sync_scalar(jnp.sum(kp.abs_sigma))
+        print(f"profiler trace -> {args.profile}", file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         kp, _ = detect_batched_jit(images, cfg, args.blur)
