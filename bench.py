@@ -95,9 +95,37 @@ def main() -> None:
     # Gaussian stacks never leave the chip on the detect path) is the
     # fastest accurate path: 64x480p pyramid+DoG 83 ms vs 243 ms for the
     # round-1 per-scale striped kernel. Exact f32.
+    #
+    # Fallback ladder: if Mosaic ever rejects the double-buffered DMA
+    # form of the kernel (toolchain drift), retry with the serialized
+    # copy; if the kernel fails outright, drop to the pure-XLA matmul
+    # path rather than failing the benchmark.
     blur = "fused"
-    keypoints, _ = detect_batched_jit(images, cfg, blur)
-    sync(keypoints)
+    try:
+        keypoints, _ = detect_batched_jit(images, cfg, blur)
+        sync(keypoints)
+    except Exception as exc:  # Mosaic/compile failure, not OOM-safe paths
+        print(f"bench.py: fused path failed ({exc!r});", file=sys.stderr)
+        from sift_scale_space_extrema_detection_tpu.ops.pallas import octave
+
+        try:
+            octave.DOUBLE_BUFFER_DMA = False
+            jax.clear_caches()
+            print(
+                "bench.py: retrying with serialized stripe DMA",
+                file=sys.stderr,
+            )
+            keypoints, _ = detect_batched_jit(images, cfg, blur)
+            sync(keypoints)
+        except Exception as exc2:
+            print(
+                f"bench.py: fused kernel unusable ({exc2!r}); "
+                "falling back to blur='matmul'",
+                file=sys.stderr,
+            )
+            blur = "matmul"
+            keypoints, _ = detect_batched_jit(images, cfg, blur)
+            sync(keypoints)
     warmed.set()
 
     # Sustained throughput: dispatch all iterations back-to-back, then

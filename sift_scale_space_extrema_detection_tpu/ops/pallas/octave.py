@@ -52,6 +52,7 @@ round-1 per-scale kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,12 @@ from ..gaussian import gaussian_kernel_1d, kernel_radius
 # so the dominant term is ~max-taps × stripe bytes; outputs are double
 # buffered by the pipeline.
 _VMEM_BUDGET = 13 * 1024 * 1024
+
+# Cross-step double-buffered stripe DMA (see _octave_kernel). Module
+# global rather than a per-call arg so bench.py can flip it and
+# re-trace (jax.clear_caches()) if Mosaic ever rejects the pipelined
+# form on a new toolchain; env knob for manual A/B.
+DOUBLE_BUFFER_DMA = os.environ.get("SIFT_FUSED_DB_DMA", "1") != "0"
 
 
 def _align(v: int, m: int) -> int:
@@ -150,6 +157,7 @@ def _octave_kernel(
     emit_masks,
     contrast_thr,
     h,
+    double_buffer,
 ):
     """One (batch, stripe) grid step: all scales + DoG (+ masks).
 
@@ -173,6 +181,8 @@ def _octave_kernel(
     # NEXT step's copy before waiting on its own, so the HBM read rides
     # under the previous stripe's compute (TPU grid steps run
     # sequentially; the scratch persists across them).
+    # ``double_buffer=False`` (env SIFT_FUSED_DB_DMA=0, or bench.py's
+    # automatic retry) falls back to the round-1 serialized copy.
     b = pl.program_id(0)
     si = pl.program_id(1)
     n_si = pl.num_programs(1)
@@ -188,17 +198,23 @@ def _octave_kernel(
             sem.at[slot],
         )
 
-    slot = k % 2
+    if double_buffer:
+        slot = k % 2
 
-    @pl.when(k == 0)
-    def _():
-        dma_for(slot, k).start()
+        @pl.when(k == 0)
+        def _():
+            dma_for(slot, k).start()
 
-    @pl.when(k + 1 < total_steps)
-    def _():
-        dma_for(1 - slot, k + 1).start()
+        @pl.when(k + 1 < total_steps)
+        def _():
+            dma_for(1 - slot, k + 1).start()
 
-    dma_for(slot, k).wait()
+        dma_for(slot, k).wait()
+    else:
+        slot = 0
+        copy = dma_for(0, k)
+        copy.start()
+        copy.wait()
 
     # Blur on a 1-px halo window when masks are needed (the extrema scan
     # reads each DoG plane's 8/9-neighborhoods); hx=1 shifts every slice
@@ -438,6 +454,7 @@ def fused_octave(
         emit_masks=emit_masks,
         contrast_thr=float(contrast_thr),
         h=h,
+        double_buffer=DOUBLE_BUFFER_DMA,
     )
     flops = 0
     for taps in taps_per_scale:
