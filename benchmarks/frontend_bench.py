@@ -39,13 +39,15 @@ import numpy as np
 
 # Peak HBM bandwidth of one v5e chip (public spec: 819 GB/s).
 V5E_HBM_GBPS = 819.0
-# Empirical streaming rates measured on THIS chip (2026-08-17, via both
-# a copy-only Pallas kernel and plain XLA stack-writes): effective HBM
-# write bandwidth ~100 GB/s, read ~250 GB/s — far below spec. The
-# write-bound floor below is the actionable roofline; the spec number
-# is kept for reference.
-MEASURED_WRITE_GBPS = 100.0
-MEASURED_READ_GBPS = 250.0
+# Empirical sustained streaming rates measured on THIS chip by
+# benchmarks/bw_probe.py (2026-08-19, dispatch-latency-subtracted):
+# Pallas write 885 GB/s, read+write copy 682 GB/s combined, read-reduce
+# 242 GB/s. Round 2's "~100 GB/s effective writes" was a measurement
+# artifact — every per-call sync paid a ~30 ms tunnel round-trip. The
+# floor below uses the copy rate (mixed read+write stream), the shape
+# of the fused kernel's traffic. Re-run bw_probe.py on any new
+# chip/toolchain and update these.
+MEASURED_STREAM_GBPS = 682.0
 
 
 def make_batch(batch: int, h: int, w: int) -> np.ndarray:
@@ -144,6 +146,34 @@ def main() -> None:
         # does not reliably sync on the tunneled TPU backend.
         return float(np.asarray(x))
 
+    # Fixed dispatch+sync round-trip latency (measured ~30 ms through
+    # the axon tunnel — see bw_probe.py). All timed loops below dispatch
+    # every iteration back-to-back and sync ONCE, then subtract this,
+    # so stage times are sustained-throughput numbers, not
+    # latency-dominated ones (round 2's per-iteration syncs overstated
+    # the pyramid stage by ~30 ms).
+    _tiny = jax.jit(lambda v: v + 1.0)
+    _t8 = jax.device_put(np.zeros((8, 128), np.float32))
+    sync_scalar(jnp.sum(_tiny(_t8)))
+    _lat = []
+    for _ in range(5):
+        _t0 = time.perf_counter()
+        sync_scalar(jnp.sum(_tiny(_t8)))
+        _lat.append(time.perf_counter() - _t0)
+    t_launch = float(np.median(_lat))
+
+    def time_sustained(thunk) -> float:
+        """Per-iteration seconds: dispatch args.iters thunks, sync once.
+
+        ``thunk()`` must return a scalar-reducible device value.
+        """
+        outs = [thunk() for _ in range(args.iters)]
+        sync_scalar(sum(outs))  # warm-up pass is the caller's job
+        t0 = time.perf_counter()
+        outs = [thunk() for _ in range(args.iters)]
+        sync_scalar(sum(outs))
+        return max((time.perf_counter() - t0) - t_launch, 1e-9) / args.iters
+
     # --- full pipeline (measured FIRST: measuring the pyramid stage
     # first was observed to leave the allocator in a state that slowed
     # the full-pipeline executable ~1.6x) ------------------------------
@@ -159,11 +189,11 @@ def main() -> None:
             kp, _ = detect_batched_jit(images, cfg, args.blur)
             sync_scalar(jnp.sum(kp.abs_sigma))
         print(f"profiler trace -> {args.profile}", file=sys.stderr)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    def _full():
         kp, _ = detect_batched_jit(images, cfg, args.blur)
-        sync_scalar(jnp.sum(kp.abs_sigma))
-    total_s = (time.perf_counter() - t0) / args.iters
+        return jnp.sum(kp.abs_sigma)
+
+    total_s = time_sustained(_full)
 
     # --- stage: pyramid + DoG + masks alone (detect path) ---------------
     @jax.jit
@@ -182,11 +212,7 @@ def main() -> None:
     # after compilation measures ~1.7x steady state on the tunneled
     # backend).
     sync_scalar(pyramid_only(images))
-    sync_scalar(pyramid_only(images))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        sync_scalar(pyramid_only(images))
-    pyr_s = (time.perf_counter() - t0) / args.iters
+    pyr_s = time_sustained(lambda: pyramid_only(images))
 
     # --- optional finer tail split: selection vs refinement --------------
     sel_s = ref_s = None
@@ -241,15 +267,8 @@ def main() -> None:
         arrs = tuple(dogs) + tuple(masks)
         for fn in (select_only, select_and_refine):
             sync_scalar(fn(*arrs))
-            sync_scalar(fn(*arrs))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            sync_scalar(select_only(*arrs))
-        sel_s = (time.perf_counter() - t0) / args.iters
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            sync_scalar(select_and_refine(*arrs))
-        ref_s = (time.perf_counter() - t0) / args.iters - sel_s
+        sel_s = time_sustained(lambda: select_only(*arrs))
+        ref_s = time_sustained(lambda: select_and_refine(*arrs)) - sel_s
 
     ideal_bytes = detect_traffic_bytes(
         batch, h, w, cfg,
@@ -257,13 +276,8 @@ def main() -> None:
     )
     ideal_s = ideal_bytes / (V5E_HBM_GBPS * 1e9)
     achieved_gbps = ideal_bytes / pyr_s / 1e9
-    # Write/read split: of the traffic model, writes = DoG+seed+masks
-    # planes; the rest is reads. Floor uses measured per-direction rates.
-    write_frac = 0.45
-    floor_s = ideal_bytes * (
-        write_frac / (MEASURED_WRITE_GBPS * 1e9)
-        + (1 - write_frac) / (MEASURED_READ_GBPS * 1e9)
-    )
+    # Floor: the same bytes at the probe-measured mixed-stream rate.
+    floor_s = ideal_bytes / (MEASURED_STREAM_GBPS * 1e9)
 
     tail_s = total_s - pyr_s
     out = {

@@ -58,6 +58,18 @@ class SiftConfig:
     # iterations (most candidates finish in iteration 1). 1.0 disables.
     refine_active_compaction: float = 0.35
 
+    # Compaction LADDER: after Newton iteration k (1-based), actives are
+    # re-packed into ``schedule[k-1]`` x (original slots); the last
+    # entry repeats for deeper iterations. Refinement cost is gather-
+    # bound and per-slot, and the measured survivor fractions at the
+    # bench config are 21% / 7% / 4% / 3% of VALID candidates after
+    # iterations 1-4 (slots >= valid), so these caps carry >=1.6x
+    # headroom; actives beyond a cap keep the REJECT_MAX_ITERATIONS
+    # fate they already hold (same failure semantics as the single-cap
+    # knob above). Empty tuple = use ``refine_active_compaction`` as a
+    # single-entry ladder (round-2 behavior).
+    refine_compaction_schedule: tuple = (0.35, 0.15, 0.08)
+
     # Refine ALL octaves' candidates in ONE pass over a concatenated
     # flat DoG buffer (per-candidate octave geometry gathered from
     # lookup tables) instead of one pass per octave — 4x fewer

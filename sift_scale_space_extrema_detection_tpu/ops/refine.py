@@ -3,8 +3,8 @@
 TPU-native rewrite of the reference's per-keypoint scalar loop
 (reference/background.js:455-685): plain array code over all
 fixed-capacity candidate slots at once with masked state updates and
-statically unrolled iterations. Each iteration gathers the 3×3×3 DoG
-neighborhood as one flat 27-element ``jnp.take``,
+statically unrolled iterations. Each iteration gathers the 19 used points of the
+3×3×3 DoG neighborhood (corners are dead) as one flat ``jnp.take``,
 forms the gradient/Hessian by central differences
 (reference/src/sift.js:333-446), solves ``α = -H⁻¹ g`` via the closed-form
 adjugate inverse (reference/src/matrix2d.js:464-509) with the exact same
@@ -65,7 +65,7 @@ def _refine_core(
     """Vectorized Newton refinement over all candidate slots at once.
 
     Structured as plain array code over ``(N,)`` state with ONE flat
-    27-element gather per iteration (``jnp.take`` on the flattened DoG
+    19-element gather per iteration (``jnp.take`` on the flattened DoG
     volume) rather than a per-keypoint ``dynamic_slice`` under ``vmap``
     — the latter lowered to a pathological gather pattern on TPU
     (measured ~8.1 s of the 9.6 s frontend batch). Iterations unroll
@@ -97,13 +97,23 @@ def _refine_core(
         sigc=jnp.broadcast_to(jnp.asarray(sigma_coeff, dtype), (n_slots,)),
     )
 
-    # 3x3x3 neighborhood deltas, ordered (ds, dm, dn): index 9a+3b+c.
-    ds_ = jnp.asarray([a for a in (-1, 0, 1) for _ in range(9)], jnp.int32)
-    dm_ = jnp.asarray(
-        [b for _ in range(3) for b in (-1, 0, 1) for _ in range(3)],
-        jnp.int32,
-    )
-    dn_ = jnp.asarray([c for _ in range(9) for c in (-1, 0, 1)], jnp.int32)
+    # Gradient + Hessian touch only 19 of the 27 cube points — the 8
+    # corners (|ds|+|dm|+|dn| == 3) never appear in the central
+    # differences (reference/src/sift.js:333-446). Gathers are the
+    # measured bottleneck of this stage (~12.5 ns/element on TPU
+    # regardless of formulation), so the 8 dead lanes are 30% of the
+    # stage for free.
+    pts = [
+        (a, b, c)
+        for a in (-1, 0, 1)
+        for b in (-1, 0, 1)
+        for c in (-1, 0, 1)
+        if abs(a) + abs(b) + abs(c) < 3
+    ]
+    col = {p: i for i, p in enumerate(pts)}
+    ds_ = jnp.asarray([p[0] for p in pts], jnp.int32)
+    dm_ = jnp.asarray([p[1] for p in pts], jnp.int32)
+    dn_ = jnp.asarray([p[2] for p in pts], jnp.int32)
 
     zero = jnp.zeros((n_slots,), dtype)
     state = dict(
@@ -127,7 +137,7 @@ def _refine_core(
 
         # Positions are always within the valid interior while active
         # (enforced by the out-of-bounds test); clip for the masked-off
-        # lanes so indices stay legal. One flat 27-element ``jnp.take``
+        # lanes so indices stay legal. One flat 19-element ``jnp.take``
         # per step: measured alternatives were strictly worse on TPU —
         # per-keypoint ``dynamic_slice`` under vmap ~40x, and a
         # ``lax.gather`` of three (1,3,3) slices ~13x (multi-dim slice
@@ -140,11 +150,11 @@ def _refine_core(
             ds_[None, :] * (hh * ww)[:, None]
             + dm_[None, :] * ww[:, None]
             + dn_[None, :]
-        )  # (N, 27)
+        )  # (N, 19)
         cube = jnp.take(dog_flat, base[:, None] + offsets, axis=0).astype(
             dtype
         )
-        v = lambda a, b, cc: cube[:, 9 * a + 3 * b + cc]
+        v = lambda a, b, cc: cube[:, col[(a - 1, b - 1, cc - 1)]]
 
         ctr = v(1, 1, 1)
         g0 = (v(2, 1, 1) - v(0, 1, 1)) / 2
@@ -260,34 +270,41 @@ def _refine_core(
 
     state = step(state)
     remaining = cfg.max_refine_iterations - 1
-    active_cap = max(64, int(n_slots * cfg.refine_active_compaction))
-    if remaining > 0 and active_cap < n_slots:
-        # Most candidates finish in the first Newton iteration (converge,
-        # reject, or leave the volume); iterations 2..5 only need the
-        # survivors. Pack the still-active slots into a smaller buffer
-        # (their octave geometry travels with them), iterate there, and
-        # scatter the results back. Actives beyond ``active_cap`` (never
-        # observed at realistic densities; the cap is a config knob)
-        # simply keep their REJECT_MAX_ITERATIONS fate. Padding lanes
-        # reuse slot 0 and are marked done, so the write-back stores
-        # unchanged values for them.
-        sel_read, ok, _ = first_k_set_indices(~state["done"], active_cap)
-        sub = {k: v[sel_read] for k, v in state.items()}
-        sub["done"] = sub["done"] | ~ok
-        for _ in range(remaining):
-            sub = step(sub)
+    schedule = tuple(cfg.refine_compaction_schedule) or (
+        cfg.refine_active_compaction,
+    )
+    # Compaction ladder: most candidates finish in the first Newton
+    # iteration (converge, reject, or leave the volume) and the active
+    # set keeps shrinking, so before each remaining iteration the
+    # still-active slots are packed into ``schedule[i] * n_slots``
+    # (their octave geometry travels with them); results scatter back
+    # up the ladder at the end. Actives beyond a cap simply keep the
+    # REJECT_MAX_ITERATIONS fate they already hold (caps carry >=1.6x
+    # headroom over measured survivor fractions — see config).
+    # Padding lanes reuse slot 0 and are marked done, so the write-back
+    # stores unchanged values for them.
+    levels = []  # (parent_state, sel_read, ok) per compaction taken
+    cur = state
+    for i in range(remaining):
+        frac = schedule[min(i, len(schedule) - 1)]
+        cap = max(64, int(n_slots * frac))
+        if cap < cur["done"].shape[0]:
+            sel_read, ok, _ = first_k_set_indices(~cur["done"], cap)
+            sub = {k: v[sel_read] for k, v in cur.items()}
+            sub["done"] = sub["done"] | ~ok
+            levels.append((cur, sel_read, ok))
+            cur = sub
+        cur = step(cur)
+    for parent, sel_read, ok in reversed(levels):
         # Write-back: padding lanes get an out-of-range index and are
         # DROPPED — a clamped/aliased index could race a real lane's
         # update for the same slot.
-        sel_write = jnp.where(ok, sel_read, n_slots)
-        state = {
-            k: state[k].at[sel_write].set(sub[k], mode="drop")
-            for k in state
+        sel_write = jnp.where(ok, sel_read, parent["done"].shape[0])
+        cur = {
+            k: parent[k].at[sel_write].set(cur[k], mode="drop")
+            for k in parent
         }
-    else:
-        for _ in range(remaining):
-            state = step(state)
-    return state
+    return cur
 
 
 def _octave_geometry(octave: int, cfg: SiftConfig):
