@@ -76,15 +76,16 @@ def detect_traffic_bytes(
     total = 0
     bh, bw = 2 * h, 2 * w  # 2x NN upsample (reference/background.js:84)
     s = cfg.scales_per_octave_total
+    mask_bytes = 2 if (s - 3) <= 8 else 4  # int16-packed trio codes
     for _ in range(cfg.num_octaves):
         px = batch * bh * bw
         plane = 4 * px
         read_base = int(1.05 * plane)  # stripe halo overlap ~5%
-        # (S-1) DoG planes at dog_bytes + f32 seed + int32 packed mask.
-        write = (s - 1) * dog_bytes * px + 2 * plane
+        # (S-1) DoG planes at dog_bytes + f32 seed + packed mask plane.
+        write = (s - 1) * dog_bytes * px + plane + mask_bytes * px
         # Selection: one re-read of the packed plane (candidates decode
         # from it in-register; no unpacked volume is materialized).
-        reread = plane
+        reread = mask_bytes * px
         total += read_base + write + reread
         bh //= 2
         bw //= 2

@@ -27,7 +27,7 @@ base image:
   scan (reference/src/sift.js:212-316) while the DoG planes sit in
   VMEM: each scale is blurred on a 1-pixel halo ``(tile_h+2, w+2)``
   window, per-plane separable 3-column min/max rows are shared across
-  trios, and ONE packed int32 mask plane is emitted for the whole
+  trios, and ONE packed int16 mask plane is emitted (int32 past 8 trios) for the whole
   octave — trio ``t`` owns bits ``[2t, 2t+2)`` with code 0 = not
   extremum, 1 = candidate, 2 = low-contrast reject
   (reference/src/sift.js:285-307). This removes the entire XLA
@@ -324,7 +324,11 @@ def _octave_kernel(
             jnp.int32(0),
         )
         packed = packed | (code << (2 * t))
-    masks_ref[0, 0] = packed
+    # Stored at the narrowest dtype that holds 2 bits/trio (int16 for
+    # <=8 trios): the mask plane is pure write traffic on a stage whose
+    # effective HBM rate fluctuates with tenancy — bytes are the only
+    # reliable lever. The scan math above stays int32 in registers.
+    masks_ref[0, 0] = packed.astype(masks_ref.dtype)
 
 
 def fused_octave(
@@ -345,7 +349,7 @@ def fused_octave(
     base plane. Returns ``(scales, dog, seed, masks)`` with ``scales``
     of shape ``(B, S, H, W)`` (or ``None`` when ``emit_scales=False``),
     ``dog`` ``(B, S-1, H, W)``, ``seed = scales[:, spo]`` ``(B, H, W)``,
-    and ``masks`` ``(B, H, W)`` int32 — trio ``t`` (centered at DoG
+    and ``masks`` ``(B, H, W)`` int16 (int32 past 8 trios) — trio ``t`` (centered at DoG
     scale ``t+1``) owns bits ``[2t, 2t+2)`` with code 0 = none,
     1 = candidate, 2 = low-contrast reject — or ``None`` when
     ``emit_masks=False``. Mask pixels are valid over the image interior
@@ -433,7 +437,8 @@ def fused_octave(
         )
     )
     if emit_masks:
-        out_shapes.append(jax.ShapeDtypeStruct((b, 1, hout, w), jnp.int32))
+        mask_dtype = jnp.int16 if (n_scales - 3) <= 8 else jnp.int32
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1, hout, w), mask_dtype))
         out_specs.append(
             pl.BlockSpec(
                 (1, 1, tile_h, w),

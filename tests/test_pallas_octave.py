@@ -120,7 +120,7 @@ def test_fused_detect_path_matches_separable_end_to_end():
     """Full detect via kernel masks + packed selection == XLA pipeline.
 
     Integration cover for the production detect path (fused kernel →
-    packed int32 mask plane → packed-plane candidate selection →
+    packed int16 mask plane → packed-plane candidate selection →
     refinement): keypoint sets and the per-trio rejection counters must
     match the plain separable XLA path (coordinates to fp tolerance —
     the two blur implementations differ in tap order).
@@ -203,7 +203,7 @@ def test_fused_octave_masks_match_xla_scan():
         interpret=True,
     )
     assert masks.shape == (2, 40, 56)
-    assert masks.dtype == jnp.int32
+    assert masks.dtype == jnp.int16  # <=8 trios pack into int16
 
     for b in range(2):
         d = dog[b]
