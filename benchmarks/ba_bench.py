@@ -165,34 +165,49 @@ def main() -> None:
     if args.breakdown and args.solver == "dense":
         lam = jnp.asarray(1e-4, state.points.dtype)
 
+        # Fixed dispatch+sync latency of the backend (~30 ms through the
+        # axon tunnel): every stage below dispatches all reps, reduces
+        # each output to a scalar ON DEVICE, syncs the SUM once, and
+        # subtracts this. (The previous version synced each output —
+        # 10 × 30 ms of transfer latency per stage, which produced an
+        # assembly+solve total exceeding the whole LM iteration and a
+        # negative "overhead".)
+        tiny = jax.jit(lambda v: v + 1.0)
+        t8 = jnp.zeros((8, 128), jnp.float32)
+        sync(tiny(t8))
+        lats = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sync(tiny(t8))
+            lats.append(time.perf_counter() - t0)
+        t_launch = float(np.median(lats))
+        reps = 10
+
+        def sustained(thunk):
+            outs = [thunk() for _ in range(reps)]
+            sync(sum(outs))  # warm-up
+            t0 = time.perf_counter()
+            outs = [thunk() for _ in range(reps)]
+            sync(sum(outs))
+            return max(time.perf_counter() - t0 - t_launch, 1e-9) / reps
+
         assemble = jax.jit(
             lambda st, ob: shard_schur_pieces(
                 st.rotations, st.translations, st.k_mat, st.points,
                 ob.camera, ob.landmark, ob.uv, ob.valid, lam, c,
             )
         )
-        # Sustained timing (dispatch all, sync once at the end):
-        # a per-call sync costs one ~30 ms tunnel round-trip, which
-        # swamps a ~10 ms stage and once produced a negative "LM
-        # overhead" in this very breakdown.
         pieces = assemble(state, obs)
         sync(pieces.s_off)
-        reps = 10
-        t0 = time.perf_counter()
-        outs = [assemble(state, obs) for _ in range(reps)]
-        for p in outs:
-            sync(p.s_off)
-        t_asm = (time.perf_counter() - t0) / reps
+        t_asm = sustained(
+            lambda: jnp.sum(assemble(state, obs).s_off[..., :1, :1])
+        )
 
         solve = jax.jit(
             lambda p: solve_reduced(p.h_cc, p.b_c, p.s_off, p.rhs_off, lam, 1)
         )
         sync(solve(pieces))
-        t0 = time.perf_counter()
-        outs = [solve(pieces) for _ in range(reps)]
-        for o in outs:
-            sync(o)
-        t_slv = (time.perf_counter() - t0) / reps
+        t_slv = sustained(lambda: jnp.sum(solve(pieces)[..., :1]))
         print(
             f"breakdown: assembly+schur {1e3 * t_asm:.2f} ms, "
             f"reduced solve {1e3 * t_slv:.2f} ms "

@@ -25,6 +25,7 @@ frontend it comes from descriptor matching (ops/matching.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -502,6 +503,78 @@ def run_slam(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _match_consecutive(desc, valid, ratio):
+    """Matches for ALL consecutive frame pairs in one dispatch.
+
+    ``desc``: (F, S, D); returns ``(index, valid)`` of shape (F-1, S)
+    mapping frame f-1 slots → frame f slots. One vmapped call replaces
+    F-1 per-frame ``match_descriptors`` dispatches, each of which paid
+    a ~30 ms host-sync round-trip through the tunneled backend
+    (VERDICT round-2 item #6).
+    """
+
+    def one(d1, v1, d2, v2):
+        m = match_descriptors(d1, v1, d2, v2, ratio=ratio)
+        return m.index, m.valid
+
+    return jax.vmap(one)(desc[:-1], valid[:-1], desc[1:], valid[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _verify_pairs(uv1, uv2, mask, k_mat, keys, thr, num_hypotheses):
+    """Essential-matrix RANSAC over ALL frame pairs in one dispatch.
+
+    ``uv1``/``uv2``: (P, CAP, 2) padded per-pair correspondences;
+    ``mask``: (P, CAP) validity; ``keys``: (P, 2) PRNG keys. Returns
+    (P, CAP) inlier flags.
+    """
+    from ..sfm.geometry import backproject as geo_backproject
+
+    def one(u1, u2, m, key):
+        r1 = geo_backproject(u1, k_mat)
+        r2 = geo_backproject(u2, k_mat)
+        res = estimate_essential_ransac(
+            r1.astype(jnp.float32),
+            r2.astype(jnp.float32),
+            m,
+            key,
+            num_hypotheses=num_hypotheses,
+            inlier_threshold=thr,
+        )
+        return res.inliers
+
+    return jax.vmap(one)(uv1, uv2, mask, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _match_window(desc, valid, query_f, kf_table, ratio):
+    """Window re-association matches for ALL frames in one dispatch.
+
+    ``query_f``: (Q,) frame indices of the queries; ``kf_table``:
+    (Q, W) keyframe indices per query (-1 = unused slot). Returns
+    ``(index, valid)`` of shape (Q, W, S) mapping query slots →
+    keyframe slots. Frames are processed sequentially (``lax.map``)
+    so the (S, S) distance matrices of one query's window are the
+    peak memory, not Q×W of them.
+    """
+
+    def per_query(args):
+        qf, kfs = args
+        qd = desc[qf]
+        qv = valid[qf]
+
+        def per_kf(kf):
+            kd = desc[jnp.maximum(kf, 0)]
+            kv = valid[jnp.maximum(kf, 0)] & (kf >= 0)
+            m = match_descriptors(qd, qv, kd, kv, ratio=ratio)
+            return m.index, m.valid
+
+        return jax.vmap(per_kf)(kfs)
+
+    return jax.lax.map(per_query, (query_f, kf_table))
+
+
 def build_tracks_from_images(
     images: np.ndarray,
     sift_cfg,
@@ -535,7 +608,6 @@ def build_tracks_from_images(
     single-device path.
     """
     from .frontend import detect_and_describe_batched_jit
-    from ..sfm.geometry import backproject as geo_backproject
 
     # Frontend in fixed-size chunks: the describe path materializes the
     # Gaussian stacks, so a long sequence in ONE batch exceeds HBM
@@ -593,45 +665,74 @@ def build_tracks_from_images(
     track_of[0, js] = np.arange(len(js))
     next_track = len(js)
 
-    for f in range(1, num_frames):
-        m = match_descriptors(
-            jnp.asarray(desc[f - 1]),
-            jnp.asarray(valid[f - 1]),
-            jnp.asarray(desc[f]),
-            jnp.asarray(valid[f]),
-            ratio=match_ratio,
-        )
-        mv = np.asarray(m.valid)
-        midx = np.asarray(m.index)
-        pair_i = np.where(mv)[0]
-        pair_j = midx[pair_i]
+    # --- batched tracking dispatches (VERDICT round-2 item #6) ----------
+    # The round-2 loop issued one match + one RANSAC dispatch per frame,
+    # each synced to host (~30 ms tunnel round-trip each — ~2F syncs per
+    # sequence). All consecutive-pair matches are independent, so: ONE
+    # vmapped match over the F-1 pairs, then ONE vmapped RANSAC over the
+    # padded per-pair correspondences. The host loop below only chains
+    # precomputed arrays.
+    d_all = jnp.asarray(desc)
+    v_all = jnp.asarray(valid)
+    cons_idx, cons_val = _match_consecutive(d_all, v_all, match_ratio)
+    cons_idx = np.asarray(cons_idx)
+    cons_val = np.asarray(cons_val)
+    pair_is = [np.where(cons_val[p])[0] for p in range(num_frames - 1)]
+    pair_js = [cons_idx[p, pi] for p, pi in enumerate(pair_is)]
 
-        if k_mat is not None and len(pair_i) >= 8:
-            uv1 = np.stack([xs[f - 1, pair_i], ys[f - 1, pair_i]], -1)
-            uv2 = np.stack([xs[f, pair_j], ys[f, pair_j]], -1)
-            cap = 1 << max(6, (len(pair_i) - 1).bit_length())
-            pad = cap - len(pair_i)
-            rays1 = np.asarray(
-                geo_backproject(jnp.asarray(uv1), jnp.asarray(k_mat))
+    if k_mat is not None and num_frames > 1:
+        counts = [len(pi) for pi in pair_is]
+        cap = 1 << max(6, (max(max(counts), 1) - 1).bit_length())
+        n_pairs = num_frames - 1
+        uv1 = np.zeros((n_pairs, cap, 2), np.float32)
+        uv2 = np.zeros((n_pairs, cap, 2), np.float32)
+        mask = np.zeros((n_pairs, cap), bool)
+        for p, (pi, pj) in enumerate(zip(pair_is, pair_js)):
+            n = len(pi)
+            uv1[p, :n, 0] = xs[p, pi]
+            uv1[p, :n, 1] = ys[p, pi]
+            uv2[p, :n, 0] = xs[p + 1, pj]
+            uv2[p, :n, 1] = ys[p + 1, pj]
+            mask[p, :n] = True
+        keys = np.stack(
+            [np.asarray(jax.random.PRNGKey(f)) for f in range(1, num_frames)]
+        )
+        inliers = np.asarray(
+            _verify_pairs(
+                jnp.asarray(uv1),
+                jnp.asarray(uv2),
+                jnp.asarray(mask),
+                jnp.asarray(k_mat, jnp.float32),
+                jnp.asarray(keys),
+                ransac_threshold_px / float(k_mat[0, 0]),
+                256,
             )
-            rays2 = np.asarray(
-                geo_backproject(jnp.asarray(uv2), jnp.asarray(k_mat))
-            )
-            res = estimate_essential_ransac(
-                jnp.asarray(
-                    np.pad(rays1, ((0, pad), (0, 0))), jnp.float32
-                ),
-                jnp.asarray(
-                    np.pad(rays2, ((0, pad), (0, 0))), jnp.float32
-                ),
-                jnp.asarray(np.arange(cap) < len(pair_i)),
-                jax.random.PRNGKey(f),
-                num_hypotheses=256,
-                inlier_threshold=ransac_threshold_px / float(k_mat[0, 0]),
-            )
-            keep = np.asarray(res.inliers)[: len(pair_i)]
-            pair_i = pair_i[keep]
-            pair_j = pair_j[keep]
+        )
+        for p, n in enumerate(counts):
+            if n >= 8:  # below 8 the model is underdetermined: keep all
+                keep = inliers[p, :n]
+                pair_is[p] = pair_is[p][keep]
+                pair_js[p] = pair_js[p][keep]
+
+    # Window re-association matches, also batched (single-device path;
+    # the mesh path stays per-frame keyframe-sharded below).
+    w_idx_all = w_val_all = None
+    if reassoc_window > 0 and mesh is None and num_frames > 2:
+        qf = np.arange(2, num_frames, dtype=np.int32)
+        kf_table = np.full((len(qf), reassoc_window), -1, np.int32)
+        for i, f in enumerate(qf):
+            lo = max(0, f - 1 - reassoc_window)
+            kfs = range(lo, f - 1)
+            kf_table[i, : len(kfs)] = list(kfs)
+        w_idx_all, w_val_all = _match_window(
+            d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table), match_ratio
+        )
+        w_idx_all = np.asarray(w_idx_all)
+        w_val_all = np.asarray(w_val_all)
+
+    for f in range(1, num_frames):
+        pair_i = pair_is[f - 1]
+        pair_j = pair_js[f - 1]
 
         # Chain matches into existing tracks (mutual cross-check makes
         # the match one-to-one, so plain fancy indexing is race-free).
@@ -646,9 +747,9 @@ def build_tracks_from_images(
             lo = max(0, f - 1 - reassoc_window)
             kfs = list(range(lo, f - 1))  # excludes f-1 (already matched)
             if kfs:
-                kf_desc = jnp.asarray(desc[kfs])
-                kf_valid = jnp.asarray(valid[kfs])
                 if mesh is not None:
+                    kf_desc = jnp.asarray(desc[kfs])
+                    kf_valid = jnp.asarray(valid[kfs])
                     from ..parallel.distributed import (
                         match_against_keyframes_sharded,
                     )
@@ -677,19 +778,11 @@ def build_tracks_from_images(
                     w_idx = np.asarray(w_idx)[: len(kfs)]
                     w_val = np.asarray(w_val)[: len(kfs)]
                 else:
-                    def one_kf(kd, kv):
-                        m = match_descriptors(
-                            jnp.asarray(desc[f]),
-                            jnp.asarray(valid[f]),
-                            kd,
-                            kv,
-                            ratio=match_ratio,
-                        )
-                        return m.index, m.valid
-
-                    w_idx, w_val = jax.vmap(one_kf)(kf_desc, kf_valid)
-                    w_idx = np.asarray(w_idx)
-                    w_val = np.asarray(w_val)
+                    # Precomputed by the ONE batched _match_window
+                    # dispatch above (row i ↔ query frame i+2, slots
+                    # [0:len(kfs)] in the same oldest→newest order).
+                    w_idx = w_idx_all[f - 2, : len(kfs)]
+                    w_val = w_val_all[f - 2, : len(kfs)]
                 # Most recent keyframe wins; only fill untracked slots.
                 for wk in range(len(kfs) - 1, -1, -1):
                     kf = kfs[wk]

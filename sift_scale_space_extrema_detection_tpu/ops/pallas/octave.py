@@ -114,12 +114,14 @@ def _plan(
         # than the kernel itself; double buffering hides the copy
         # behind the previous stripe's compute) + tap temporaries +
         # double-buffered outputs.
-        # NOTE an MXU formulation (both separable passes as banded-matrix
-        # matmuls, f32 HIGHEST) was built and measured no faster: this
-        # chip's effective HBM WRITE bandwidth is ~100 GB/s (measured via
-        # both a copy-only Pallas kernel and plain XLA writes; reads
-        # reach ~250 GB/s), so the detect path is write-bound and the
-        # VPU taps already sit within ~2x of that floor.
+        # NOTE on the bandwidth story (round 3, benchmarks/bw_probe.py):
+        # round 2's "~100 GB/s effective writes" was a measurement
+        # artifact (a ~30 ms per-sync tunnel round-trip); sustained
+        # rates are 276-885 GB/s writes (tenancy-variable), ~250 GB/s
+        # reads. The kernel's remaining gap to its traffic floor is
+        # structural: a copy-only kernel with this exact grid/output
+        # shape sustains only ~110-180 GB/s (plane-stacked block
+        # writes), and the tap compute + mask scan add ~2x on top.
         need = (
             2 * stripe_bytes
             + (taps_max + 1) * stripe_bytes
