@@ -1,0 +1,213 @@
+"""Descriptor repeatability / recall vs OpenCV over a warp grid.
+
+VERDICT round-2 item #8: the one-off OpenCV cross-check proved
+*precision* parity on a single warp but left recall/repeatability — the
+"matching or beating" quality axis — unquantified. This benchmark runs
+both pipelines over a grid of similarity warps (rotation × scale) of a
+textured synthetic image and reports, per warp and pipeline:
+
+- ``kp``            detected keypoints in the source image
+- ``covisible``     source keypoints whose ground-truth-warped position
+                    lands in-bounds AND has a detected keypoint in the
+                    warped image within 3 px (the matchable population)
+- ``repeatability`` covisible / in-bounds keypoints (detector metric)
+- ``matches``       ratio+mutual matches (0.8)
+- ``recall``        correct matches / covisible  (descriptor metric)
+- ``precision``     correct matches / matches
+
+"Correct" = matched point within 3 px of the ground-truth-mapped
+source point. Both pipelines are scored by the identical protocol; the
+detection-density gap (ours follows the reference's thresholds,
+reference/src/sift.js:285-293, not OpenCV's defaults) shows up in
+``kp``/``covisible``, keeping the recall comparison density-fair.
+
+Run: ``python benchmarks/descriptor_bench.py [--cpu]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+H, W = 240, 320
+CORRECT_PX = 3.0
+
+
+def textured_image(rng: np.random.Generator) -> np.ndarray:
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = 0.45 + 0.08 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+    for _ in range(60):
+        cy, cx = rng.uniform(15, H - 15), rng.uniform(15, W - 15)
+        r = rng.uniform(2.0, 7.0)
+        a = rng.uniform(-0.4, 0.4)
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))
+    return np.clip(img, 0.0, 1.0)
+
+
+def warp_matrix(theta_deg: float, s: float) -> np.ndarray:
+    theta = np.deg2rad(theta_deg)
+    c, sn = np.cos(theta), np.sin(theta)
+    cx0, cy0 = W / 2, H / 2
+    return np.array(
+        [
+            [s * c, -s * sn, cx0 - s * (c * cx0 - sn * cy0) + 6.0],
+            [s * sn, s * c, cy0 - s * (sn * cx0 + c * cy0) - 4.0],
+        ]
+    )
+
+
+def score_warp(pa, pb, matches_ab, a_mat):
+    """Repeatability/recall/precision for one warp.
+
+    ``pa (Na, 2)``/``pb (Nb, 2)``: detected keypoint positions;
+    ``matches_ab (M, 2)``: (a index, b index) accepted match pairs.
+    """
+    pred = pa @ a_mat[:, :2].T + a_mat[:, 2]
+    inb = (
+        (pred[:, 0] >= 0)
+        & (pred[:, 0] < W)
+        & (pred[:, 1] >= 0)
+        & (pred[:, 1] < H)
+    )
+    if len(pb):
+        d = np.linalg.norm(pred[:, None, :] - pb[None, :, :], axis=-1)
+        has_partner = d.min(axis=1) < CORRECT_PX
+    else:
+        has_partner = np.zeros(len(pa), bool)
+    covis = inb & has_partner
+
+    correct = 0
+    for ia, ib in matches_ab:
+        if inb[ia] and np.linalg.norm(pred[ia] - pb[ib]) < CORRECT_PX:
+            correct += 1
+    n_match = len(matches_ab)
+    return {
+        "kp_a": int(len(pa)),
+        "kp_b": int(len(pb)),
+        "inbounds": int(inb.sum()),
+        "covisible": int(covis.sum()),
+        "repeatability": round(covis.sum() / max(inb.sum(), 1), 3),
+        "matches": n_match,
+        "recall": round(correct / max(int(covis.sum()), 1), 3),
+        "precision": round(correct / max(n_match, 1), 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ratio", type=float, default=0.8)
+    args = ap.parse_args()
+
+    import cv2
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    import jax.numpy as jnp
+
+    from sift_scale_space_extrema_detection_tpu import (
+        SiftConfig,
+        detect_and_describe,
+        match_descriptors,
+    )
+
+    rng = np.random.default_rng(7)
+    img = textured_image(rng)
+    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+
+    def ours(image):
+        d = detect_and_describe(jnp.asarray(image, jnp.float32), cfg)
+        v = np.asarray(d.valid)
+        p = np.stack([np.asarray(d.abs_x), np.asarray(d.abs_y)], -1)
+        return p[v], np.asarray(d.descriptor)[v]
+
+    sift = cv2.SIFT_create()
+
+    def theirs(image):
+        kp, desc = sift.detectAndCompute((image * 255).astype(np.uint8), None)
+        if desc is None:
+            return np.zeros((0, 2)), np.zeros((0, 128), np.float32)
+        return np.array([k.pt for k in kp]), desc
+
+    pa_o, da_o = ours(img)
+    pa_c, dc_o = theirs(img)
+
+    grid = [(r, s) for r in (0.0, 20.0, 45.0, 90.0) for s in (0.8, 1.0, 1.25)]
+    grid.remove((0.0, 1.0))  # identity tells us nothing
+    rows = []
+    for rdeg, s in grid:
+        a_mat = warp_matrix(rdeg, s)
+        img2 = cv2.warpAffine(
+            img, a_mat, (W, H),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT,
+        )
+
+        pb_o, db_o = ours(img2)
+        m = match_descriptors(
+            jnp.asarray(da_o),
+            jnp.ones(len(da_o), bool),
+            jnp.asarray(db_o),
+            jnp.ones(len(db_o), bool),
+            ratio=args.ratio,
+        )
+        sel = np.where(np.asarray(m.valid))[0]
+        ours_matches = np.stack([sel, np.asarray(m.index)[sel]], -1)
+        row_o = score_warp(pa_o, pb_o, ours_matches, a_mat)
+
+        pb_c, dcb = theirs(img2)
+        if len(dc_o) and len(dcb):
+            knn = cv2.BFMatcher().knnMatch(dc_o, dcb, k=2)
+            good = [
+                (mm.queryIdx, mm.trainIdx)
+                for pair in knn
+                if len(pair) == 2
+                for mm, nn in [pair]
+                if mm.distance < args.ratio * nn.distance
+            ]
+        else:
+            good = []
+        row_c = score_warp(pa_c, pb_c, np.array(good).reshape(-1, 2), a_mat)
+
+        rows.append(
+            {"rot_deg": rdeg, "scale": s, "ours": row_o, "opencv": row_c}
+        )
+        print(
+            f"rot {rdeg:5.1f} scale {s:.2f} | ours kp {row_o['kp_a']:4d}"
+            f" covis {row_o['covisible']:4d} rep {row_o['repeatability']:.2f}"
+            f" recall {row_o['recall']:.2f} prec {row_o['precision']:.2f}"
+            f" | cv kp {row_c['kp_a']:4d} covis {row_c['covisible']:4d}"
+            f" rep {row_c['repeatability']:.2f} recall {row_c['recall']:.2f}"
+            f" prec {row_c['precision']:.2f}",
+            file=sys.stderr,
+        )
+
+    mean = lambda k, who: round(  # noqa: E731
+        float(np.mean([r[who][k] for r in rows])), 3
+    )
+    print(
+        json.dumps(
+            {
+                "warps": len(rows),
+                "ours_mean_repeatability": mean("repeatability", "ours"),
+                "ours_mean_recall": mean("recall", "ours"),
+                "ours_mean_precision": mean("precision", "ours"),
+                "opencv_mean_repeatability": mean("repeatability", "opencv"),
+                "opencv_mean_recall": mean("recall", "opencv"),
+                "opencv_mean_precision": mean("precision", "opencv"),
+                "ours_mean_kp": mean("kp_a", "ours"),
+                "opencv_mean_kp": mean("kp_a", "opencv"),
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,60 @@ def test_match_yield_within_family_of_standard_sift(pair_scores):
     # matches as OpenCV's detector+descriptor on the same pair.
     (_, ours_correct), (_, cv_correct) = pair_scores
     assert ours_correct >= 0.25 * cv_correct, (ours_correct, cv_correct)
+
+
+def test_recall_floor_over_warp_grid():
+    """Descriptor recall over a rotation/scale grid (VERDICT r2 #8).
+
+    Full grid + OpenCV side-by-side lives in
+    benchmarks/descriptor_bench.py; measured there (CPU, 2026-08-19,
+    11 warps): ours recall 0.878 / precision 0.994 vs OpenCV 0.837 /
+    0.986 — recall *beats* OpenCV at equal scoring. The density gap is
+    in DETECTION at down-scale warps (repeatability 0.24 vs 0.86 at
+    scale 0.8; 37 vs 110 keypoints — reference-parity thresholds,
+    reference/src/sift.js:285-293, detect fewer, finer points). This
+    test pins a floor on a 3-warp subset so descriptor-quality
+    regressions fail fast.
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, "benchmarks")
+    import descriptor_bench as dbench
+
+    import cv2 as _cv2
+
+    from sift_scale_space_extrema_detection_tpu import (
+        detect_and_describe as _dd,
+    )
+
+    rng = np.random.default_rng(7)
+    img = dbench.textured_image(rng)
+    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+
+    def ours(image):
+        d = _dd(jnp.asarray(image, jnp.float32), cfg)
+        v = np.asarray(d.valid)
+        p = np.stack([np.asarray(d.abs_x), np.asarray(d.abs_y)], -1)
+        return p[v], np.asarray(d.descriptor)[v]
+
+    pa, da = ours(img)
+    recalls, precisions = [], []
+    for rdeg, s in [(20.0, 1.0), (90.0, 1.0), (45.0, 1.25)]:
+        a_mat = dbench.warp_matrix(rdeg, s)
+        img2 = _cv2.warpAffine(
+            img, a_mat, (dbench.W, dbench.H),
+            flags=_cv2.INTER_LINEAR, borderMode=_cv2.BORDER_REFLECT,
+        )
+        pb, db = ours(img2)
+        m = match_descriptors(
+            jnp.asarray(da), jnp.ones(len(da), bool),
+            jnp.asarray(db), jnp.ones(len(db), bool), ratio=0.8,
+        )
+        sel = np.where(np.asarray(m.valid))[0]
+        row = dbench.score_warp(
+            pa, pb, np.stack([sel, np.asarray(m.index)[sel]], -1), a_mat
+        )
+        recalls.append(row["recall"])
+        precisions.append(row["precision"])
+    assert float(np.mean(recalls)) >= 0.6, recalls
+    assert float(np.mean(precisions)) >= 0.9, precisions
