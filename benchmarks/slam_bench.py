@@ -65,6 +65,13 @@ def main() -> None:
     ap.add_argument("--size", default="640x480")
     ap.add_argument("--blur", default="separable")
     ap.add_argument(
+        "--reassoc",
+        type=int,
+        default=2,
+        help="window re-association depth (measured on this sequence: "
+        "ATE 0.41 -> 0.27, landmarks 176 -> 410 at depth 2)",
+    )
+    ap.add_argument(
         "--cpu",
         action="store_true",
         help="force the CPU backend (the axon sitecustomize overrides "
@@ -94,16 +101,19 @@ def main() -> None:
 
     sift_cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
     slam_cfg = SlamConfig(ba_interval=5, ba_window=8)
+    kw = dict(blur=args.blur, reassoc_window=args.reassoc)
 
-    # Warm-up on a short prefix (compiles the frontend + BA shapes).
-    run_slam_from_images(
-        images[:6], k_mat, sift_cfg, slam_cfg, blur=args.blur
-    )
+    # Warm-up pass over the FULL sequence: the pipeline's jit shapes
+    # depend on frame count / match caps / BA buckets, so a short-prefix
+    # warm-up leaves the timed pass compile-dominated (measured 488 s
+    # first pass vs ~10 s steady state at 40 frames). The persistent
+    # compilation cache makes this cheap on repeat runs.
+    t0 = time.perf_counter()
+    run_slam_from_images(images, k_mat, sift_cfg, slam_cfg, **kw)
+    t_compile_pass = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    result = run_slam_from_images(
-        images, k_mat, sift_cfg, slam_cfg, blur=args.blur
-    )
+    result = run_slam_from_images(images, k_mat, sift_cfg, slam_cfg, **kw)
     dt = time.perf_counter() - t0
 
     ate = evaluate_ate(result, gt_r, gt_t)
@@ -117,6 +127,7 @@ def main() -> None:
                 "ate": round(ate, 4),
                 "landmarks": int(result.landmark_valid.sum()),
                 "observations": int(result.num_observations),
+                "first_pass_s": round(t_compile_pass, 2),
                 "render_s": round(t_render, 2),
             }
         )

@@ -319,8 +319,7 @@ def run_slam(
             iterations=cfg.pnp_iterations,
             huber_delta=cfg.huber_px,
         )
-        est_r[f] = np.asarray(r_new)
-        est_t[f] = np.asarray(t_new)
+        est_r[f], est_t[f] = jax.device_get((r_new, t_new))  # one fetch
 
         # Record observations of mapped landmarks.
         for i in ids_map:
@@ -329,44 +328,59 @@ def run_slam(
             obs_uv.append(pixels[f, i])
 
         # Triangulate landmarks now visible twice but not yet in the map.
+        # ONE vmapped midpoint solve over all candidates with per-point
+        # first-seen poses (the round-2 loop dispatched one triangulation
+        # per unique first-seen frame — with window re-association that
+        # was O(10-30) device round-trips per frame at ~30 ms each,
+        # measured as the backend's dominant cost: 4.4 s/frame).
         cand = np.where(visible[f] & ~lm_valid & (first_seen_kf >= 0))[0]
         if len(cand) > 0:
             f0s = first_seen_kf[cand]
-            for f0 in np.unique(f0s):
-                sel = cand[f0s == f0]
-                raysA = backproject(int(f0), sel)
-                raysB = backproject(f, sel)
-                tri, depths = geo.triangulate_midpoint(
-                    jnp.asarray(est_r[f0]),
-                    jnp.asarray(est_t[f0]),
-                    jnp.asarray(est_r[f]),
-                    jnp.asarray(est_t[f]),
-                    jnp.asarray(raysA),
-                    jnp.asarray(raysB),
-                )
-                depths = np.asarray(depths)
-                # Parallax gate: rays must subtend enough angle.
-                cA = -est_r[int(f0)].T @ est_t[int(f0)]
-                cB = -est_r[f].T @ est_t[f]
-                p = np.asarray(tri)
-                dA = p - cA
-                dB = p - cB
-                cosang = np.sum(dA * dB, axis=-1) / np.maximum(
-                    np.linalg.norm(dA, axis=-1) * np.linalg.norm(dB, axis=-1),
-                    1e-9,
-                )
-                ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_deg))
-                good = np.all(depths > 0.1, axis=-1) & ang_ok
-                add = sel[good]
-                points[add] = p[good]
-                lm_valid[add] = True
-                for i in add:
-                    obs_cam.append(int(f0))
-                    obs_lm.append(int(i))
-                    obs_uv.append(pixels[int(f0), i])
-                    obs_cam.append(f)
-                    obs_lm.append(int(i))
-                    obs_uv.append(pixels[f, i])
+            n = len(cand)
+            cap = 1 << max(5, (n - 1).bit_length())
+            pad = cap - n
+            r_a = np.concatenate(
+                [est_r[f0s], np.broadcast_to(np.eye(3), (pad, 3, 3))]
+            )
+            t_a = np.pad(est_t[f0s], ((0, pad), (0, 0)))
+            uv_a = np.pad(pixels[f0s, cand], ((0, pad), (0, 0)))
+            uv_b = np.pad(pixels[f, cand], ((0, pad), (0, 0)))
+            tri, depths = _triangulate_candidates(
+                jnp.asarray(r_a),
+                jnp.asarray(t_a),
+                jnp.asarray(est_r[f]),
+                jnp.asarray(est_t[f]),
+                jnp.asarray(uv_a),
+                jnp.asarray(uv_b),
+                k_jnp,
+            )
+            p, depths = jax.device_get((tri, depths))  # one fetch
+            p = p[:n]
+            depths = depths[:n]
+            # Parallax gate: rays must subtend enough angle.
+            c_a = -np.einsum(
+                "nji,nj->ni", est_r[f0s], est_t[f0s]
+            )  # per-point centers -Rᵀt
+            c_b = -est_r[f].T @ est_t[f]
+            d_a = p - c_a
+            d_b = p - c_b
+            cosang = np.sum(d_a * d_b, axis=-1) / np.maximum(
+                np.linalg.norm(d_a, axis=-1) * np.linalg.norm(d_b, axis=-1),
+                1e-9,
+            )
+            ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_deg))
+            good = np.all(depths > 0.1, axis=-1) & ang_ok
+            add = cand[good]
+            points[add] = p[good]
+            lm_valid[add] = True
+            add_f0 = f0s[good]
+            for i, f0 in zip(add, add_f0):
+                obs_cam.append(int(f0))
+                obs_lm.append(int(i))
+                obs_uv.append(pixels[int(f0), i])
+                obs_cam.append(f)
+                obs_lm.append(int(i))
+                obs_uv.append(pixels[f, i])
 
         newly = visible[f] & (first_seen_kf < 0)
         first_seen_kf[newly] = f
@@ -387,9 +401,11 @@ def run_slam(
                 np.ones(len(obs_cam), bool),
             )
             refined, _ = _ba(state, obs, cfg.ba_iterations, fixed)
-            est_r[: f + 1] = np.asarray(refined.rotations)
-            est_t[: f + 1] = np.asarray(refined.translations)
-            upd = np.asarray(refined.points)
+            r_h, t_h, upd = jax.device_get(
+                (refined.rotations, refined.translations, refined.points)
+            )
+            est_r[: f + 1] = r_h
+            est_t[: f + 1] = t_h
             points[lm_valid] = upd[lm_valid]
 
         if checkpoint_dir is not None and (
@@ -501,6 +517,23 @@ def run_slam(
         landmark_valid=lm_valid,
         num_observations=len(obs_cam),
     )
+
+
+@jax.jit
+def _triangulate_candidates(r_a, t_a, r_b, t_b, uv_a, uv_b, k_mat):
+    """Midpoint-triangulate N candidates with PER-POINT first poses.
+
+    ``r_a/t_a``: (N,3,3)/(N,3) pose of each candidate's first-seen
+    frame; ``r_b/t_b``: the current frame's single pose (broadcast).
+    Returns ``(points (N,3), depths (N,2))``. Rays are shaped (N,1,3)
+    so :func:`geometry.triangulate_midpoint`'s batch dims broadcast.
+    """
+    rays_a = geo.backproject(uv_a, k_mat)[:, None, :]
+    rays_b = geo.backproject(uv_b, k_mat)[:, None, :]
+    pts, depths = geo.triangulate_midpoint(
+        r_a, t_a, r_b, t_b, rays_a, rays_b
+    )
+    return pts[:, 0], depths[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))

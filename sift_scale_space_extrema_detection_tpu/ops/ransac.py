@@ -20,6 +20,8 @@ image units (pixel_thresh / focal_length).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -221,6 +223,7 @@ def refine_relative_pose(
     return rot, t
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def estimate_essential_ransac(
     rays1: jax.Array,
     rays2: jax.Array,
@@ -230,6 +233,11 @@ def estimate_essential_ransac(
     inlier_threshold: float = 2e-3,
 ) -> EssentialResult:
     """Batched-hypothesis RANSAC over fixed-capacity correspondence slots.
+
+    Jitted at definition (eager execution dispatched each of the
+    hypothesis pipeline's ops individually — seconds per call through a
+    tunneled backend); ``inlier_threshold`` stays dynamic so per-camera
+    thresholds don't recompile.
 
     ``rays1``/``rays2``: ``(N, 3)`` normalized rays; ``valid``: ``(N,)``.
     ``inlier_threshold`` is on the SQUARE ROOT of the Sampson error, in

@@ -10,6 +10,8 @@ needed for relocalization.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -92,6 +94,9 @@ def pnp_dlt(
     return rot, t
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "huber_delta")
+)
 def solve_pnp(
     points: jax.Array,
     uv: jax.Array,
@@ -108,6 +113,11 @@ def solve_pnp(
     why plain GN is not enough). ``huber_delta`` in pixels enables IRLS
     robust weighting; None = plain least squares. Returns
     ``(R, t, rms)`` with rms over valid observations.
+
+    Jitted at definition (callers pad to pow2 buckets): eagerly, the
+    ~30 unrolled LM iterations dispatched hundreds of individual ops —
+    measured **3.8 s per call** through the tunneled TPU backend, which
+    made PnP 90 % of the SLAM backend's steady-state wall-clock.
     """
     dtype = points.dtype
     fx, fy = k_mat[0, 0], k_mat[1, 1]

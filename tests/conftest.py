@@ -21,6 +21,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache, shared across xdist workers and across
+# suite runs. The heavy SLAM/visual-SLAM tests are compile-dominated
+# (pow2 observation buckets recompile BA/PnP at several sizes each;
+# measured 306 s for the 50-keyframe test, mostly compiles), and the 4
+# xdist workers otherwise each recompile identical programs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SIFT_TEST_COMPILE_CACHE", "/root/.cache/jax_comp_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
