@@ -851,6 +851,7 @@ def run_slam_from_images(
     mesh=None,
     reassoc_window: int = 0,
     blur: str = "separable",
+    frontend_chunk: int = 16,
     **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
@@ -865,6 +866,7 @@ def run_slam_from_images(
     pixels, visible, _ = build_tracks_from_images(
         images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio,
         mesh=mesh, reassoc_window=reassoc_window, blur=blur,
+        frontend_chunk=frontend_chunk,
     )
     return run_slam(pixels, visible, k_mat, slam_cfg, mesh=mesh, **slam_kwargs)
 

@@ -100,9 +100,16 @@ def _refine_core(
     # Gradient + Hessian touch only 19 of the 27 cube points — the 8
     # corners (|ds|+|dm|+|dn| == 3) never appear in the central
     # differences (reference/src/sift.js:333-446). Gathers are the
-    # measured bottleneck of this stage (~12.5 ns/element on TPU
-    # regardless of formulation), so the 8 dead lanes are 30% of the
-    # stage for free.
+    # measured bottleneck of this stage, and TPU gather cost is per
+    # ROW, not per element (82k × {19 scalars, 14 4-wide rows, 9
+    # 4-wide rows} measured 9.6 / 7.2 / 4.3 ms). So when the flat DoG
+    # length is 4-aligned, the volume is viewed as (L/4, 4) word rows
+    # and the 19 points are fetched as 14 rows: the five dn-runs
+    # (ds,dm) ∈ {(0,0),(±1,0),(0,±1)} × dn ∈ {-1,0,1} as two adjacent
+    # word rows each (8 lanes always cover a 3-run at any alignment),
+    # the four (±1,±1,0) singles as one row each. Values — and
+    # therefore every downstream bit — are identical to the flat
+    # gather; misaligned volumes (odd test shapes) keep the flat path.
     pts = [
         (a, b, c)
         for a in (-1, 0, 1)
@@ -114,6 +121,67 @@ def _refine_core(
     ds_ = jnp.asarray([p[0] for p in pts], jnp.int32)
     dm_ = jnp.asarray([p[1] for p in pts], jnp.int32)
     dn_ = jnp.asarray([p[2] for p in pts], jnp.int32)
+    use_rows = dog_flat.shape[0] % 4 == 0
+    if use_rows:
+        dog_rows = dog_flat.reshape(-1, 4)
+        run_ab = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
+        sgl_ab = ((-1, -1), (-1, 1), (1, -1), (1, 1))
+        run_pos = {ab: i for i, ab in enumerate(run_ab)}
+        sgl_pos = {ab: i for i, ab in enumerate(sgl_ab)}
+        run_ds = jnp.asarray([ab[0] for ab in run_ab], jnp.int32)
+        run_dm = jnp.asarray([ab[1] for ab in run_ab], jnp.int32)
+        sgl_ds = jnp.asarray([ab[0] for ab in sgl_ab], jnp.int32)
+        sgl_dm = jnp.asarray([ab[1] for ab in sgl_ab], jnp.int32)
+
+    def gather_cube(base, hh, ww):
+        """(v accessor) for the 19 points around per-slot flat ``base``."""
+        if not use_rows:
+            offsets = (
+                ds_[None, :] * (hh * ww)[:, None]
+                + dm_[None, :] * ww[:, None]
+                + dn_[None, :]
+            )  # (N, 19)
+            cube = jnp.take(
+                dog_flat, base[:, None] + offsets, axis=0
+            ).astype(dtype)
+            return lambda a, b, cc: cube[:, col[(a - 1, b - 1, cc - 1)]]
+
+        hw = hh * ww
+        # Run starts (dn = -1) and singles (dn = 0), flat.
+        p_run = (
+            base[:, None] + run_ds[None] * hw[:, None] + run_dm[None] * ww[:, None] - 1
+        )  # (N, 5)
+        p_sgl = (
+            base[:, None] + sgl_ds[None] * hw[:, None] + sgl_dm[None] * ww[:, None]
+        )  # (N, 4)
+        q_run = p_run >> 2
+        rows_idx = jnp.concatenate(
+            [q_run, q_run + 1, p_sgl >> 2], axis=1
+        )  # (N, 14); q+1 may clip at the buffer end — only when its
+        # lanes are unused (a run that crosses words has its last
+        # element's row in range by construction).
+        words = jnp.take(dog_rows, rows_idx, axis=0).astype(dtype)
+        w8 = jnp.concatenate(
+            [words[:, :5], words[:, 5:10]], axis=-1
+        )  # (N, 5, 8)
+        rel_run = (p_run & 3)[..., None]  # (N, 5, 1)
+        runs = jnp.zeros(w8.shape[:2] + (3,), dtype)
+        for j in range(4):
+            runs = jnp.where(rel_run == j, w8[..., j : j + 3], runs)
+        sgl_words = words[:, 10:]  # (N, 4, 4)
+        rel_sgl = p_sgl & 3
+        sgls = jnp.zeros(p_sgl.shape, dtype)
+        for j in range(4):
+            sgls = jnp.where(rel_sgl == j, sgl_words[..., j], sgls)
+
+        def v(a, b, cc):
+            ab = (a - 1, b - 1)
+            if ab in run_pos:
+                return runs[:, run_pos[ab], cc]
+            assert cc == 1
+            return sgls[:, sgl_pos[ab]]
+
+        return v
 
     zero = jnp.zeros((n_slots,), dtype)
     state = dict(
@@ -137,24 +205,16 @@ def _refine_core(
 
         # Positions are always within the valid interior while active
         # (enforced by the out-of-bounds test); clip for the masked-off
-        # lanes so indices stay legal. One flat 19-element ``jnp.take``
-        # per step: measured alternatives were strictly worse on TPU —
-        # per-keypoint ``dynamic_slice`` under vmap ~40x, and a
-        # ``lax.gather`` of three (1,3,3) slices ~13x (multi-dim slice
-        # gathers lower to serial row fetches).
+        # lanes so indices stay legal. Gather strategy: see gather_cube
+        # (word-row gathers when aligned; one flat 19-element
+        # ``jnp.take`` otherwise — per-keypoint ``dynamic_slice`` under
+        # vmap measured ~40x worse, a ``lax.gather`` of three (1,3,3)
+        # slices ~13x).
         sc = jnp.clip(s, 1, d_scales - 2)
         mc = jnp.clip(m, 1, hh - 2)
         nc = jnp.clip(n, 1, ww - 2)
         base = off + (sc * hh + mc) * ww + nc
-        offsets = (
-            ds_[None, :] * (hh * ww)[:, None]
-            + dm_[None, :] * ww[:, None]
-            + dn_[None, :]
-        )  # (N, 19)
-        cube = jnp.take(dog_flat, base[:, None] + offsets, axis=0).astype(
-            dtype
-        )
-        v = lambda a, b, cc: cube[:, col[(a - 1, b - 1, cc - 1)]]
+        v = gather_cube(base, hh, ww)
 
         ctr = v(1, 1, 1)
         g0 = (v(2, 1, 1) - v(0, 1, 1)) / 2
