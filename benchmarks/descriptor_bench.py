@@ -102,6 +102,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--ratio", type=float, default=0.8)
+    ap.add_argument(
+        "--quality",
+        action="store_true",
+        help="SiftConfig.quality() preset (OpenCV-equivalent detection "
+        "thresholds; documented parity divergence)",
+    )
     args = ap.parse_args()
 
     import cv2
@@ -114,16 +120,17 @@ def main() -> None:
 
     from sift_scale_space_extrema_detection_tpu import (
         SiftConfig,
-        detect_and_describe,
+        detect_and_describe_jit,
         match_descriptors,
     )
 
     rng = np.random.default_rng(7)
     img = textured_image(rng)
-    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+    kw = dict(num_octaves=3, max_keypoints_per_trio=256)
+    cfg = SiftConfig.quality(**kw) if args.quality else SiftConfig(**kw)
 
     def ours(image):
-        d = detect_and_describe(jnp.asarray(image, jnp.float32), cfg)
+        d = detect_and_describe_jit(jnp.asarray(image, jnp.float32), cfg)
         v = np.asarray(d.valid)
         p = np.stack([np.asarray(d.abs_x), np.asarray(d.abs_y)], -1)
         return p[v], np.asarray(d.descriptor)[v]

@@ -65,6 +65,12 @@ def main() -> None:
     ap.add_argument("--size", default="640x480")
     ap.add_argument("--blur", default="separable")
     ap.add_argument(
+        "--quality",
+        action="store_true",
+        help="SiftConfig.quality() detection preset (sigma0 1.6 + "
+        "OpenCV-equivalent thresholds; ~3x keypoint density)",
+    )
+    ap.add_argument(
         "--reassoc",
         type=int,
         default=2,
@@ -99,7 +105,10 @@ def main() -> None:
     images, gt_r, gt_t, k_mat = render_sequence(rng, args.frames, w, h)
     t_render = time.perf_counter() - t_render
 
-    sift_cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+    kw_cfg = dict(num_octaves=3, max_keypoints_per_trio=256)
+    sift_cfg = (
+        SiftConfig.quality(**kw_cfg) if args.quality else SiftConfig(**kw_cfg)
+    )
     slam_cfg = SlamConfig(ba_interval=5, ba_window=8)
     kw = dict(blur=args.blur, reassoc_window=args.reassoc)
 

@@ -148,6 +148,31 @@ class SiftConfig:
         c = self.edge_ratio
         return ((c + 1.0) * (c + 1.0)) / c
 
+    @classmethod
+    def quality(cls, **overrides) -> "SiftConfig":
+        """Detection-density preset — a DOCUMENTED parity divergence.
+
+        The reference detects ~3x fewer keypoints than standard SIFT
+        (37 vs 110 on the descriptor-bench textured image), and the
+        dominant cause is NOT the thresholds but the blur ladder:
+        ``min_blur_level = 0.8`` (reference/src/worker.js:33-37) vs the
+        standard sigma0 = 1.6 (OpenCV, IPOL). DoG response amplitude
+        grows ~sigma^2, so the reference's finer ladder produces ~4x
+        smaller responses against the same contrast threshold —
+        measured on the bench image: sigma 1.6 alone 37 -> 84
+        keypoints; with OpenCV-equivalent thresholds (final 0.04/3,
+        pre-filter 0.5x) 108 vs OpenCV's 110. This preset is for
+        matching/SLAM workloads; the default config remains bit-parity
+        with the reference.
+        """
+        base = dict(
+            min_blur_level=1.6,  # standard SIFT sigma0 (OpenCV/IPOL)
+            contrast_threshold=0.0133,  # ~OpenCV 0.04/nOctaveLayers
+            contrast_prefilter_factor=0.5,
+        )
+        base.update(overrides)
+        return cls(**base)
+
     def keypoints_per_trio(self, octave: int) -> int:
         """Per-trio slot capacity for one octave (shrinks 2x per octave)."""
         return max(self.min_keypoints_per_trio, self.max_keypoints_per_trio >> octave)

@@ -65,7 +65,33 @@ def test_image():
 
 @pytest.fixture(scope="session")
 def oracle_result(test_image):
-    """Full reference-oracle pipeline output (cached per session)."""
+    """Full reference-oracle pipeline output, disk-cached.
+
+    The oracle is pure deterministic numpy (~3.5 min on this host) and
+    xdist workers cannot share session fixtures, so each of the 4
+    workers used to recompute it — the single largest block of suite
+    wall-clock. Cache key: the image bytes + the oracle module source,
+    so any oracle change invalidates the cache.
+    """
+    import hashlib
+    import pickle
+    import pathlib
+
     from sift_scale_space_extrema_detection_tpu.utils import oracle
 
-    return oracle.detect(test_image)
+    src = pathlib.Path(oracle.__file__).read_bytes()
+    key = hashlib.sha256(test_image.tobytes() + src).hexdigest()[:24]
+    cache = pathlib.Path(
+        os.environ.get("SIFT_TEST_ORACLE_CACHE", "/root/.cache/sift_oracle")
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    path = cache / f"oracle_{key}.pkl"
+    if path.exists():
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    result = oracle.detect(test_image)
+    tmp = path.with_suffix(f".tmp{os.getpid()}")
+    with open(tmp, "wb") as f:
+        pickle.dump(result, f)
+    tmp.replace(path)  # atomic: concurrent xdist workers race benignly
+    return result

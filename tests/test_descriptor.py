@@ -12,7 +12,7 @@ import pytest
 
 from sift_scale_space_extrema_detection_tpu import (
     SiftConfig,
-    detect_and_describe,
+    detect_and_describe_jit,
 )
 from sift_scale_space_extrema_detection_tpu.ops.descriptor import (
     _extract_peaks,
@@ -24,7 +24,7 @@ CFG = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
 
 @pytest.fixture(scope="module")
 def described(test_image):
-    return detect_and_describe(jnp.asarray(test_image), CFG)
+    return detect_and_describe_jit(jnp.asarray(test_image), CFG)
 
 
 def test_shapes_and_validity(described):
@@ -86,8 +86,8 @@ def test_rotation_equivariance(test_image):
     img = jnp.asarray(test_image)
     rot = jnp.rot90(img, k=-1)  # clockwise: (y,x) -> (x, H-1-y)
 
-    a = detect_and_describe(img, CFG)
-    b = detect_and_describe(rot, CFG)
+    a = detect_and_describe_jit(img, CFG)
+    b = detect_and_describe_jit(rot, CFG)
 
     av = np.asarray(a.valid)
     bv = np.asarray(b.valid)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from sift_scale_space_extrema_detection_tpu import (
     SiftConfig,
-    detect_and_describe,
+    detect_and_describe_jit,
     match_descriptors,
 )
 
@@ -86,8 +86,8 @@ def pair_scores():
     img, img2, a_mat = _warp_pair()
 
     cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
-    da = detect_and_describe(jnp.asarray(img, jnp.float32), cfg)
-    db = detect_and_describe(jnp.asarray(img2, jnp.float32), cfg)
+    da = detect_and_describe_jit(jnp.asarray(img, jnp.float32), cfg)
+    db = detect_and_describe_jit(jnp.asarray(img2, jnp.float32), cfg)
     m = match_descriptors(da.descriptor, da.valid, db.descriptor, db.valid, ratio=0.8)
     sel = np.where(np.asarray(m.valid))[0]
     pa = np.stack([np.asarray(da.abs_x), np.asarray(da.abs_y)], -1)
@@ -148,7 +148,7 @@ def test_recall_floor_over_warp_grid():
     import cv2 as _cv2
 
     from sift_scale_space_extrema_detection_tpu import (
-        detect_and_describe as _dd,
+        detect_and_describe_jit as _dd,
     )
 
     rng = np.random.default_rng(7)
