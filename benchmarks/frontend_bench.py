@@ -204,6 +204,7 @@ def main() -> None:
         _, dogs, masks = build_pyramid_fused(
             imgs, cfg, emit_scales=False, emit_masks=True,
             dog_dtype=_jnp.bfloat16 if args.blur == "fused_bf16" else None,
+            flat_detect=True,
         )
         return sum(jnp.sum(d[..., ::64, ::64]) for d in dogs) + sum(
             jnp.sum(m[..., ::64, ::64]) for m in masks
@@ -260,7 +261,8 @@ def main() -> None:
                     sel = select_refine_candidates(
                         m, d, cfg, cfg.refine_capacity(o)
                     )
-                    kp = refine_keypoints(d, sel, o, cfg)
+                    ih = m.shape[-2] if d.ndim == 4 else None
+                    kp = refine_keypoints(d, sel, o, cfg, image_h=ih)
                     return jnp.sum(kp.abs_sigma)
                 out.append(jnp.sum(jax.vmap(one)(arrs[n + o], arrs[o])))
             return sum(out)

@@ -56,6 +56,7 @@ def build_pyramid_fused(
     emit_masks: bool = False,
     interpret: bool = False,
     dog_dtype=None,
+    flat_detect: bool = False,
 ) -> tuple[list[jax.Array] | None, list[jax.Array], list[jax.Array | None]]:
     """Pyramid + DoG (+ extrema masks) via the fused octave Pallas kernel.
 
@@ -103,6 +104,10 @@ def build_pyramid_fused(
                 contrast_thr=cfg.contrast_prefilter_threshold,
                 interpret=interpret,
                 dog_dtype=dog_dtype,
+                # Stripe-major DoG only helps when the in-kernel masks
+                # exist (they zero the layout's pad rows; consumers
+                # select exclusively through them).
+                flat_detect=flat_detect and emit_masks and not emit_scales,
             )
         elif (on_tpu or interpret) and fused_octave_supported(
             h, w, sigmas, cfg.scales_per_octave
@@ -128,7 +133,8 @@ def build_pyramid_fused(
             scale_space.append(
                 scales.reshape(batch_shape + scales.shape[-3:])
             )
-        dogs.append(dog.reshape(batch_shape + dog.shape[-3:]))
+        n_tail = 4 if dog.ndim == 5 else 3  # stripe-major keeps 4 dims
+        dogs.append(dog.reshape(batch_shape + dog.shape[-n_tail:]))
         masks_out.append(
             None if masks is None
             else masks.reshape(batch_shape + masks.shape[-2:])
@@ -192,7 +198,11 @@ def detect_from_dog(
         masks = [None] * len(dog)
     extrema = []
     sels = []
+    image_hs = []
     for octave, (d, m) in enumerate(zip(dog, masks)):
+        # Stripe-major DoG (4-D per image) carries pad rows; the
+        # logical image height comes from the (cropped) mask plane.
+        image_hs.append(m.shape[-2] if d.ndim == 4 else None)
         if m is None:
             e = find_extrema(d, cfg, cfg.keypoints_per_trio(octave))
             sel = compact_extrema(e, cfg.refine_capacity(octave))
@@ -209,10 +219,10 @@ def detect_from_dog(
         extrema.append(e)
         sels.append(sel)
     if cfg.unified_refine and len({d.dtype for d in dog}) == 1:
-        return refine_keypoints_multi(dog, sels, cfg), extrema
+        return refine_keypoints_multi(dog, sels, cfg, image_hs), extrema
     keypoints = [
-        refine_keypoints(d, sel, octave, cfg)
-        for octave, (d, sel) in enumerate(zip(dog, sels))
+        refine_keypoints(d, sel, octave, cfg, image_h=ih)
+        for octave, (d, sel, ih) in enumerate(zip(dog, sels, image_hs))
     ]
     return concat_keypoints(keypoints), extrema
 
@@ -234,6 +244,7 @@ def _dog_pyramid(
             emit_scales=False,
             emit_masks=True,
             dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
+            flat_detect=True,
         )
         return dog, masks
     return build_dog(build_scale_space(images, cfg, blur)), [None] * cfg.num_octaves

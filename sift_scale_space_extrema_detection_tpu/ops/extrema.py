@@ -312,6 +312,20 @@ def _first_k_candidates_packed(
     return jnp.where(valid, idx, 0), valid, n_cand, n_low
 
 
+def dog_flat_index(scale, m, n, d: int, w, tile_h):
+    """Flat index into a DoG volume in either storage layout.
+
+    Plane-major ``(D, H, W)``: pass ``tile_h = H`` — the formula
+    degenerates to ``(scale·H + m)·W + n`` exactly. Stripe-major
+    ``(n_stripes, D, tile_h, W)`` (``ops.pallas.octave.fused_octave``
+    ``flat_detect=True``): pass the stripe height. ``m``/``n``/
+    ``scale`` may be arrays; ``tile_h`` may be a per-slot array (the
+    unified multi-octave refine path).
+    """
+    blk = m // tile_h
+    return ((blk * d + scale) * tile_h + (m - blk * tile_h)) * w + n
+
+
 def select_refine_candidates(
     packed: jax.Array, dog: jax.Array, cfg: SiftConfig, capacity: int
 ) -> Extrema:
@@ -355,7 +369,13 @@ def select_refine_candidates(
     y = jnp.where(valid, y, 1)
     x = jnp.where(valid, x, 1)
     scale_level = jnp.where(valid, scale_level, 1)
-    value = dog.reshape(-1)[scale_level * plane + y * w + x]
+    if dog.ndim == 4:  # stripe-major (n_stripes, D, tile_h, W)
+        d_planes, tile_h = dog.shape[1], dog.shape[2]
+    else:  # plane-major (D, H, W)
+        d_planes, tile_h = dog.shape[0], dog.shape[1]
+    value = dog.reshape(-1)[
+        dog_flat_index(scale_level, y, x, d_planes, w, tile_h)
+    ]
     # The per-trio counters mirror the reference's accounting
     # (reference/background.js:433-436; SURVEY.md §5.5) — candidates
     # beyond capacity stay observable through them.

@@ -178,6 +178,12 @@ def _octave_kernel(
     dog_ref = refs.pop(0)
     seed_ref = refs.pop(0)
     masks_ref = refs.pop(0) if emit_masks else None
+    # Flat-2D DoG block: (D*tile_h, w) rather than (1, D, tile_h, w).
+    # HBM DMA cost is dominated by a ~1.4 us per-chunk setup on this
+    # chip: the plane-stack block issues D discontiguous 32-row chunks
+    # per step and sustains ~116 GB/s, the single contiguous 224-row
+    # block sustains ~540 GB/s (interleaved-median A/B, 2026-08-19).
+    dog_flat2d = dog_ref is not None and len(dog_ref.shape) == 2
 
     # Double-buffered stripe DMA across grid steps: each step starts the
     # NEXT step's copy before waiting on its own, so the HBM read rides
@@ -255,9 +261,11 @@ def _octave_kernel(
             # Stored at the ref's dtype (bf16 in the compressed mode);
             # the in-VMEM extrema scan below reads the full-precision d.
             d = prev - cur
-            dog_ref[0, s - 1] = d[hx : hx + tile_h, hx : hx + w].astype(
-                dog_ref.dtype
-            )
+            d_store = d[hx : hx + tile_h, hx : hx + w].astype(dog_ref.dtype)
+            if dog_flat2d:
+                dog_ref[(s - 1) * tile_h : s * tile_h] = d_store
+            else:
+                dog_ref[0, s - 1] = d_store
             if emit_masks:
                 dogs.append(d)
         prev = cur
@@ -342,8 +350,21 @@ def fused_octave(
     contrast_thr: float = 0.0,
     interpret: bool = False,
     dog_dtype=None,
+    flat_detect: bool = False,
 ):
     """Whole-octave pyramid+DoG (+ extrema masks) from the octave base.
+
+    ``flat_detect=True`` (detect path, requires ``emit_scales=False``)
+    emits the DoG in STRIPE-MAJOR layout — ``(B, n_stripes, S-1,
+    tile_h, W)`` with ``hout = n_stripes·tile_h ≥ H`` pad rows kept
+    (the mask zeroes them) — so each grid step writes ONE contiguous
+    ``(S-1)·tile_h``-row chunk instead of S-1 discontiguous 32-row
+    chunks. HBM DMA pays ~1.4 µs of setup per chunk on this chip:
+    measured write rate 116 → 542 GB/s for the same bytes
+    (interleaved-median A/B, 2026-08-19). Consumers address it via
+    ``ops.extrema.dog_flat_index`` (the plane layout is the
+    ``tile_h = H`` special case of the same formula); the layout is
+    self-describing (``tile_h = dog.shape[-2]``).
 
     ``base``: ``(B, H, W)`` float32. ``sigmas[s]`` is the *offset* sigma
     blurring the base to scale ``s`` (semigroup relation,
@@ -420,16 +441,32 @@ def fused_octave(
                 memory_space=pltpu.VMEM,
             )
         )
-    out_shapes.append(
-        jax.ShapeDtypeStruct((b, n_scales - 1, hout, w), dog_dtype)
-    )
-    out_specs.append(
-        pl.BlockSpec(
-            (1, n_scales - 1, tile_h, w),
-            lambda bi, si: (bi, 0, si, 0),
-            memory_space=pltpu.VMEM,
+    if flat_detect:
+        assert not emit_scales, "flat_detect is the detect-only layout"
+        d_planes = n_scales - 1
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (b * n_stripes * d_planes * tile_h, w), dog_dtype
+            )
         )
-    )
+        out_specs.append(
+            pl.BlockSpec(
+                (d_planes * tile_h, w),
+                lambda bi, si, _n=n_stripes: (bi * _n + si, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    else:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, n_scales - 1, hout, w), dog_dtype)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, n_scales - 1, tile_h, w),
+                lambda bi, si: (bi, 0, si, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     out_shapes.append(jax.ShapeDtypeStruct((b, 1, hout, w), base.dtype))
     out_specs.append(
         pl.BlockSpec(
@@ -490,6 +527,11 @@ def fused_octave(
     outs = list(outs)
     masks = outs.pop()[:, 0, :h, :] if emit_masks else None
     seed = outs.pop()[:, 0, :h, :]
-    dog = outs.pop()[:, :, :h, :]
+    if flat_detect:
+        # Free view of the 2D buffer; pad rows (hout > h) stay — the
+        # mask zeroes them, so no consumer ever selects one.
+        dog = outs.pop().reshape(b, n_stripes, n_scales - 1, tile_h, w)
+    else:
+        dog = outs.pop()[:, :, :h, :]
     scales = outs.pop()[:, :, :h, :] if emit_scales else None
     return scales, dog, seed, masks

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +63,7 @@ def _refine_core(
     value: jax.Array,
     valid: jax.Array,
     cfg: SiftConfig,
+    tile_h=None,
 ):
     """Vectorized Newton refinement over all candidate slots at once.
 
@@ -89,27 +92,36 @@ def _refine_core(
 
     # Geometry lives in the iteration state as (N,) arrays so the
     # active-set compaction below gathers it alongside the positions.
+    # ``tile`` is the DoG storage stripe height (ops/pallas/octave.py
+    # flat_detect): the plane layout is the tile_h == h special case of
+    # the same flat-index formula (ops/extrema.py::dog_flat_index), so
+    # there is exactly one addressing path. h stays the LOGICAL image
+    # height (the reference's bounds checks use it; the stripe-major
+    # buffer's pad rows are never addressed because positions stay in
+    # the interior).
+    if tile_h is None:
+        tile_h = h
     geom = dict(
         h=jnp.broadcast_to(jnp.asarray(h, jnp.int32), (n_slots,)),
         w=jnp.broadcast_to(jnp.asarray(w, jnp.int32), (n_slots,)),
         off=jnp.broadcast_to(jnp.asarray(base_off, jnp.int32), (n_slots,)),
+        tile=jnp.broadcast_to(jnp.asarray(tile_h, jnp.int32), (n_slots,)),
         delta=jnp.broadcast_to(jnp.asarray(delta, dtype), (n_slots,)),
         sigc=jnp.broadcast_to(jnp.asarray(sigma_coeff, dtype), (n_slots,)),
     )
 
     # Gradient + Hessian touch only 19 of the 27 cube points — the 8
     # corners (|ds|+|dm|+|dn| == 3) never appear in the central
-    # differences (reference/src/sift.js:333-446). Gathers are the
-    # measured bottleneck of this stage, and TPU gather cost is per
-    # ROW, not per element (82k × {19 scalars, 14 4-wide rows, 9
-    # 4-wide rows} measured 9.6 / 7.2 / 4.3 ms). So when the flat DoG
-    # length is 4-aligned, the volume is viewed as (L/4, 4) word rows
-    # and the 19 points are fetched as 14 rows: the five dn-runs
-    # (ds,dm) ∈ {(0,0),(±1,0),(0,±1)} × dn ∈ {-1,0,1} as two adjacent
-    # word rows each (8 lanes always cover a 3-run at any alignment),
-    # the four (±1,±1,0) singles as one row each. Values — and
-    # therefore every downstream bit — are identical to the flat
-    # gather; misaligned volumes (odd test shapes) keep the flat path.
+    # differences (reference/src/sift.js:333-446); gathers are the
+    # measured bottleneck of this stage (~12.5 ns per gathered element
+    # on TPU), so the 8 dead lanes are 30% of the stage for free.
+    # NOTE a word-row variant (view the volume as (L/4, 4), fetch the
+    # five dn-runs as two 4-wide rows each + 4 singles = 14 rows;
+    # micro-benchmarked 7.2 vs 9.6 ms) was built and REVERTED: the
+    # (·, 4) reshape materializes under TPU (8, 128) tiling whenever
+    # XLA declines to fuse it into the gather — a 32x-padded copy that
+    # OOM'd HBM at batch 64 — and its end-to-end win was within
+    # tenancy noise.
     pts = [
         (a, b, c)
         for a in (-1, 0, 1)
@@ -121,67 +133,34 @@ def _refine_core(
     ds_ = jnp.asarray([p[0] for p in pts], jnp.int32)
     dm_ = jnp.asarray([p[1] for p in pts], jnp.int32)
     dn_ = jnp.asarray([p[2] for p in pts], jnp.int32)
-    use_rows = dog_flat.shape[0] % 4 == 0
-    if use_rows:
-        dog_rows = dog_flat.reshape(-1, 4)
-        run_ab = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
-        sgl_ab = ((-1, -1), (-1, 1), (1, -1), (1, 1))
-        run_pos = {ab: i for i, ab in enumerate(run_ab)}
-        sgl_pos = {ab: i for i, ab in enumerate(sgl_ab)}
-        run_ds = jnp.asarray([ab[0] for ab in run_ab], jnp.int32)
-        run_dm = jnp.asarray([ab[1] for ab in run_ab], jnp.int32)
-        sgl_ds = jnp.asarray([ab[0] for ab in sgl_ab], jnp.int32)
-        sgl_dm = jnp.asarray([ab[1] for ab in sgl_ab], jnp.int32)
 
-    def gather_cube(base, hh, ww):
-        """(v accessor) for the 19 points around per-slot flat ``base``."""
-        if not use_rows:
-            offsets = (
-                ds_[None, :] * (hh * ww)[:, None]
-                + dm_[None, :] * ww[:, None]
-                + dn_[None, :]
-            )  # (N, 19)
-            cube = jnp.take(
-                dog_flat, base[:, None] + offsets, axis=0
-            ).astype(dtype)
-            return lambda a, b, cc: cube[:, col[(a - 1, b - 1, cc - 1)]]
+    def flat_index(sc, mc, nc, off, ww, tile, d_s, d_m, d_n):
+        """Per-slot flat addresses of points (sc+d_s, mc+d_m, nc+d_n).
 
-        hw = hh * ww
-        # Run starts (dn = -1) and singles (dn = 0), flat.
-        p_run = (
-            base[:, None] + run_ds[None] * hw[:, None] + run_dm[None] * ww[:, None] - 1
-        )  # (N, 5)
-        p_sgl = (
-            base[:, None] + sgl_ds[None] * hw[:, None] + sgl_dm[None] * ww[:, None]
-        )  # (N, 4)
-        q_run = p_run >> 2
-        rows_idx = jnp.concatenate(
-            [q_run, q_run + 1, p_sgl >> 2], axis=1
-        )  # (N, 14); q+1 may clip at the buffer end — only when its
-        # lanes are unused (a run that crosses words has its last
-        # element's row in range by construction).
-        words = jnp.take(dog_rows, rows_idx, axis=0).astype(dtype)
-        w8 = jnp.concatenate(
-            [words[:, :5], words[:, 5:10]], axis=-1
-        )  # (N, 5, 8)
-        rel_run = (p_run & 3)[..., None]  # (N, 5, 1)
-        runs = jnp.zeros(w8.shape[:2] + (3,), dtype)
-        for j in range(4):
-            runs = jnp.where(rel_run == j, w8[..., j : j + 3], runs)
-        sgl_words = words[:, 10:]  # (N, 4, 4)
-        rel_sgl = p_sgl & 3
-        sgls = jnp.zeros(p_sgl.shape, dtype)
-        for j in range(4):
-            sgls = jnp.where(rel_sgl == j, sgl_words[..., j], sgls)
+        ``d_*`` are (K,) constant offset vectors; returns (N, K). One
+        formula for both DoG layouts (ops/extrema.py::dog_flat_index);
+        ``tile`` is the per-slot storage stripe height (== h for the
+        plane layout, where blk degenerates to 0).
+        """
+        mm = mc[:, None] + d_m[None, :]
+        tt = tile[:, None]
+        blk = mm // tt
+        return (
+            off[:, None]
+            + (
+                (blk * d_scales + sc[:, None] + d_s[None, :]) * tt
+                + (mm - blk * tt)
+            )
+            * ww[:, None]
+            + nc[:, None]
+            + d_n[None, :]
+        )
 
-        def v(a, b, cc):
-            ab = (a - 1, b - 1)
-            if ab in run_pos:
-                return runs[:, run_pos[ab], cc]
-            assert cc == 1
-            return sgls[:, sgl_pos[ab]]
-
-        return v
+    def gather_cube(sc, mc, nc, off, ww, tile):
+        """(v accessor) for the 19 points around each slot's position."""
+        idx = flat_index(sc, mc, nc, off, ww, tile, ds_, dm_, dn_)
+        cube = jnp.take(dog_flat, idx, axis=0).astype(dtype)
+        return lambda a, b, cc: cube[:, col[(a - 1, b - 1, cc - 1)]]
 
     zero = jnp.zeros((n_slots,), dtype)
     state = dict(
@@ -205,16 +184,14 @@ def _refine_core(
 
         # Positions are always within the valid interior while active
         # (enforced by the out-of-bounds test); clip for the masked-off
-        # lanes so indices stay legal. Gather strategy: see gather_cube
-        # (word-row gathers when aligned; one flat 19-element
-        # ``jnp.take`` otherwise — per-keypoint ``dynamic_slice`` under
-        # vmap measured ~40x worse, a ``lax.gather`` of three (1,3,3)
-        # slices ~13x).
+        # lanes so indices stay legal. One flat 19-element ``jnp.take``
+        # per step (see gather_cube; per-keypoint ``dynamic_slice``
+        # under vmap measured ~40x worse, a ``lax.gather`` of three
+        # (1,3,3) slices ~13x).
         sc = jnp.clip(s, 1, d_scales - 2)
         mc = jnp.clip(m, 1, hh - 2)
         nc = jnp.clip(n, 1, ww - 2)
-        base = off + (sc * hh + mc) * ww + nc
-        v = gather_cube(base, hh, ww)
+        v = gather_cube(sc, mc, nc, off, ww, c["tile"])
 
         ctr = v(1, 1, 1)
         g0 = (v(2, 1, 1) - v(0, 1, 1)) / 2
@@ -393,11 +370,31 @@ def _keypoints_from_state(refined, octave) -> Keypoints:
     )
 
 
-def refine_keypoints(
-    dog: jax.Array, extrema: Extrema, octave: int, cfg: SiftConfig
-) -> Keypoints:
-    """Refine all candidate slots of one octave. dog: ``(D, H, W)``."""
+def _dog_dims(dog: jax.Array, image_h: int | None):
+    """(d_scales, h, w, tile_h) for either DoG storage layout."""
+    if dog.ndim == 4:  # stripe-major (n_stripes, D, tile_h, W)
+        _, d_scales, tile_h, w = dog.shape
+        assert image_h is not None, "stripe-major DoG needs image_h"
+        return d_scales, image_h, w, tile_h
     d_scales, h, w = dog.shape
+    return d_scales, h, w, h
+
+
+def refine_keypoints(
+    dog: jax.Array,
+    extrema: Extrema,
+    octave: int,
+    cfg: SiftConfig,
+    image_h: int | None = None,
+) -> Keypoints:
+    """Refine all candidate slots of one octave.
+
+    ``dog``: ``(D, H, W)`` plane-major, or ``(n_stripes, D, tile_h, W)``
+    stripe-major (the fused detect path's write-fast layout,
+    ops/pallas/octave.py flat_detect) — in which case ``image_h`` must
+    supply the logical image height (the buffer keeps pad rows).
+    """
+    d_scales, h, w, tile_h = _dog_dims(dog, image_h)
     delta, sigma_coeff = _octave_geometry(octave, cfg)
     refined = _refine_core(
         dog.reshape(-1),
@@ -413,12 +410,16 @@ def refine_keypoints(
         extrema.value,
         extrema.valid,
         cfg,
+        tile_h=tile_h,
     )
     return _keypoints_from_state(refined, octave)
 
 
 def refine_keypoints_multi(
-    dogs: list[jax.Array], extrema_list: list[Extrema], cfg: SiftConfig
+    dogs: list[jax.Array],
+    extrema_list: list[Extrema],
+    cfg: SiftConfig,
+    image_hs: list[int | None] | None = None,
 ) -> Keypoints:
     """ONE refinement pass over every octave's candidates.
 
@@ -432,25 +433,29 @@ def refine_keypoints_multi(
     ``concat_keypoints([refine_keypoints(o) for o])``.
     """
     assert len({d.dtype for d in dogs}) == 1, "mixed DoG dtypes"
-    d_scales = dogs[0].shape[0]
+    if image_hs is None:
+        image_hs = [None] * len(dogs)
+    dims = [_dog_dims(d, ih) for d, ih in zip(dogs, image_hs)]
+    d_scales = dims[0][0]
     dog_cat = jnp.concatenate([d.reshape(-1) for d in dogs])
     dtype = (
         jnp.float32 if dogs[0].dtype == jnp.bfloat16 else dogs[0].dtype
     )
 
-    hs, ws, offs, deltas, sigcs, octs = [], [], [], [], [], []
+    hs, ws, offs, tiles, deltas, sigcs, octs = [], [], [], [], [], [], []
     flat_off = 0
     for octave, (d, e) in enumerate(zip(dogs, extrema_list)):
-        _, h, w = d.shape
+        _, h, w, tile = dims[octave]
         n = e.y.shape[0]
         delta, sigc = _octave_geometry(octave, cfg)
         hs.append(jnp.full((n,), h, jnp.int32))
         ws.append(jnp.full((n,), w, jnp.int32))
         offs.append(jnp.full((n,), flat_off, jnp.int32))
+        tiles.append(jnp.full((n,), tile, jnp.int32))
         deltas.append(jnp.full((n,), delta, dtype))
         sigcs.append(jnp.full((n,), sigc, dtype))
         octs.append(jnp.full((n,), octave, jnp.int32))
-        flat_off += d_scales * h * w
+        flat_off += int(np.prod(d.shape))
 
     refined = _refine_core(
         dog_cat,
@@ -468,5 +473,6 @@ def refine_keypoints_multi(
         ),
         jnp.concatenate([e.valid for e in extrema_list]),
         cfg,
+        tile_h=jnp.concatenate(tiles),
     )
     return _keypoints_from_state(refined, jnp.concatenate(octs))
