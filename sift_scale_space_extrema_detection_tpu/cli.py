@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--capacity", type=int, default=1024, help="max keypoints per trio")
     p.add_argument(
+        "--quality",
+        action="store_true",
+        help="SiftConfig.quality() detection preset: standard-SIFT "
+        "sigma0 1.6 + OpenCV-equivalent thresholds (~3x keypoint "
+        "density; a documented divergence from reference parity)",
+    )
+    p.add_argument(
         "--verbose",
         action="store_true",
         help="log every candidate's accept/reject decision "
@@ -93,11 +100,12 @@ def main(argv=None) -> int:
     gray = load_image_gray(args.image, dtype=dtype)
     print(f"loaded {args.image}: {gray.shape[1]}x{gray.shape[0]}")
 
-    cfg = SiftConfig(
+    cfg_kw = dict(
         num_octaves=args.octaves,
         scales_per_octave=args.scales,
         max_keypoints_per_trio=args.capacity,
     )
+    cfg = SiftConfig.quality(**cfg_kw) if args.quality else SiftConfig(**cfg_kw)
     os.makedirs(args.outdir, exist_ok=True)
     image = jnp.asarray(gray)
 
