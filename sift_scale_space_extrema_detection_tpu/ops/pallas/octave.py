@@ -287,6 +287,13 @@ def _octave_kernel(
     def col3(rm, lo):
         return lo(lo(rm[0:tile_h], rm[1 : 1 + tile_h]), rm[2 : 2 + tile_h])
 
+    # Each plane's full 3x3 min/max serves trio s-1 (as upper
+    # neighbor) and trio s+1 (as lower): cache them once per plane
+    # instead of recomputing inside every trio (4 col3 calls/trio -> 2
+    # per plane; ~12 fewer VPU ops/px on a scan measured at ~14 ms).
+    cmins = [col3(rm, jnp.minimum) for rm in rmins]
+    cmaxs = [col3(rm, jnp.maximum) for rm in rmaxs]
+
     # Zero the image border in-kernel (the scan covers interior
     # pixels only, reference/src/sift.js:221-222) so consumers can
     # select over the FULL aligned plane — the XLA-side interior
@@ -318,12 +325,10 @@ def _octave_kernel(
             jnp.maximum(rmaxs[s][0:tile_h], rmaxs[s][2 : 2 + tile_h]), mid_max
         )
         nb_min = jnp.minimum(
-            jnp.minimum(col3(rmins[s - 1], jnp.minimum), col3(rmins[s + 1], jnp.minimum)),
-            ring_min,
+            jnp.minimum(cmins[s - 1], cmins[s + 1]), ring_min
         )
         nb_max = jnp.maximum(
-            jnp.maximum(col3(rmaxs[s - 1], jnp.maximum), col3(rmaxs[s + 1], jnp.maximum)),
-            ring_max,
+            jnp.maximum(cmaxs[s - 1], cmaxs[s + 1]), ring_max
         )
         is_ext = (center > nb_max) | (center < nb_min)
         passes = jnp.abs(center) >= contrast_thr

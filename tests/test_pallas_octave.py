@@ -286,3 +286,65 @@ def test_fused_bf16_dog_same_candidates_close_keypoints():
     dx = np.abs(np.asarray(kp32.abs_x)[both] - np.asarray(kp16.abs_x)[both])
     dy = np.abs(np.asarray(kp32.abs_y)[both] - np.asarray(kp16.abs_y)[both])
     assert max(dx.max(), dy.max()) < 0.1, (dx.max(), dy.max())
+
+
+def test_flat_detect_layout_bit_identical():
+    """Stripe-major flat-2D DoG (production detect layout) == plane.
+
+    The fused kernel's flat_detect mode writes one contiguous
+    (D·tile_h, W) chunk per grid step (per-chunk DMA setup made the
+    plane-stacked block the write bottleneck; see ops/pallas/octave.py).
+    Planes reassembled from the stripe-major buffer must be bit-equal,
+    masks bit-equal, and the full detect pipeline (selection +
+    refinement through the unified flat-index addressing) must produce
+    bit-identical keypoints.
+    """
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        detect_from_dog,
+    )
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (
+        0.4
+        + 0.25 * np.sin(xx / 5) * np.cos(yy / 7)
+        + 0.3 * np.exp(-((yy - 32) ** 2 + (xx - 32) ** 2) / 30.0)
+    )
+    img = jnp.asarray(
+        np.clip(img + 0.04 * rng.standard_normal((64, 64)), 0, 1).astype(
+            np.float32
+        )
+    )
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
+
+    _, dog_p, masks_p = build_pyramid_fused(
+        img, cfg, emit_scales=False, emit_masks=True, interpret=True
+    )
+    _, dog_s, masks_s = build_pyramid_fused(
+        img, cfg, emit_scales=False, emit_masks=True, interpret=True,
+        flat_detect=True,
+    )
+    for o, (dp, ds) in enumerate(zip(dog_p, dog_s)):
+        assert ds.ndim == 4, f"octave {o} did not take the flat layout"
+        ns, d, t, w = ds.shape
+        plane = jnp.transpose(ds, (1, 0, 2, 3)).reshape(d, ns * t, w)
+        np.testing.assert_array_equal(
+            np.asarray(plane[:, : dp.shape[1], :]), np.asarray(dp)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(masks_p[o]), np.asarray(masks_s[o])
+        )
+
+    kp_p, _ = detect_from_dog(dog_p, cfg, masks_p)
+    kp_s, _ = detect_from_dog(dog_s, cfg, masks_s)
+    np.testing.assert_array_equal(np.asarray(kp_p.valid), np.asarray(kp_s.valid))
+    np.testing.assert_array_equal(
+        np.asarray(kp_p.reject_reason), np.asarray(kp_s.reject_reason)
+    )
+    v = np.asarray(kp_p.valid)
+    assert v.sum() > 0
+    for field in ("abs_x", "abs_y", "abs_sigma", "value"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_p, field))[v],
+            np.asarray(getattr(kp_s, field))[v],
+        )

@@ -123,3 +123,39 @@ def test_assert_finite():
     assert_finite({"a": jnp.ones(3), "b": jnp.arange(4)})
     with _pytest.raises(FloatingPointError, match="non-finite"):
         assert_finite({"a": jnp.asarray([1.0, np.nan])}, name="state")
+
+
+def test_quality_preset_detects_denser():
+    """SiftConfig.quality() (sigma0 1.6 + OpenCV-equivalent thresholds)
+    must detect strictly more keypoints than reference parity on a
+    textured image — the documented density divergence it exists for."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sift_scale_space_extrema_detection_tpu import (
+        SiftConfig,
+        detect_and_describe_jit,
+    )
+
+    import sys as _sys
+
+    _sys.path.insert(0, "benchmarks")
+    import descriptor_bench as dbench
+
+    # The preset is calibrated on the descriptor-bench conditions
+    # (240x320, 3 octaves: 37 -> 108 keypoints, OpenCV 110); tiny
+    # 2-octave crops can invert the comparison because the sigma-1.6
+    # ladder moves detections to coarser scales.
+    img = jnp.asarray(
+        dbench.textured_image(np.random.default_rng(7)).astype(np.float32)
+    )
+    kw = dict(num_octaves=3, max_keypoints_per_trio=256)
+    n_parity = int(
+        np.asarray(detect_and_describe_jit(img, SiftConfig(**kw)).valid).sum()
+    )
+    n_quality = int(
+        np.asarray(
+            detect_and_describe_jit(img, SiftConfig.quality(**kw)).valid
+        ).sum()
+    )
+    assert n_quality >= 2 * n_parity, (n_parity, n_quality)
