@@ -80,7 +80,7 @@ def build_pyramid_fused(
     """
     batch_shape = images.shape[:-2]
     flat = images.reshape((-1,) + images.shape[-2:])
-    base = upsample2x_nn(flat)
+    base = flat  # octave 0's 2x NN upsample happens lazily (see below)
     on_tpu = jax.default_backend() == "tpu"
     scale_space: list[jax.Array] = []
     dogs: list[jax.Array] = []
@@ -90,7 +90,14 @@ def build_pyramid_fused(
             None if (octave > 0 and s == 0) else cfg.offset_sigma(octave, s)
             for s in range(cfg.scales_per_octave_total)
         ]
+        # Octave 0 works at 2x the input resolution
+        # (reference/background.js:84); the fused kernel upsamples
+        # in-VMEM (bit-identical pixel duplication) so the upsampled
+        # base never touches HBM — the XLA fallback materializes it.
+        up2 = octave == 0
         h, w = base.shape[-2], base.shape[-1]
+        if up2:
+            h, w = 2 * h, 2 * w
         masks = None
         if (on_tpu or interpret) and fused_octave_supported(
             h, w, sigmas, cfg.scales_per_octave, emit_masks=emit_masks
@@ -108,6 +115,7 @@ def build_pyramid_fused(
                 # exist (they zero the layout's pad rows; consumers
                 # select exclusively through them).
                 flat_detect=flat_detect and emit_masks and not emit_scales,
+                upsample2x=up2,
             )
         elif (on_tpu or interpret) and fused_octave_supported(
             h, w, sigmas, cfg.scales_per_octave
@@ -119,8 +127,11 @@ def build_pyramid_fused(
                 emit_scales=emit_scales,
                 interpret=interpret,
                 dog_dtype=dog_dtype,
+                upsample2x=up2,
             )
         else:
+            if up2:
+                base = upsample2x_nn(base)
             planes = [
                 base if s is None else blur_separable(base, s) for s in sigmas
             ]

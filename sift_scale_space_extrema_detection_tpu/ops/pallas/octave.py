@@ -160,8 +160,18 @@ def _octave_kernel(
     contrast_thr,
     h,
     double_buffer,
+    upsample2x=False,
+    hp_in=None,
 ):
     """One (batch, stripe) grid step: all scales + DoG (+ masks).
+
+    ``upsample2x``: the HBM input is the ORIGINAL-resolution image;
+    each step DMAs a half-size ``(hp_in, wp_in)`` window and performs
+    the reference's 2x nearest-neighbor upsample (pure pixel
+    duplication, reference/src/matrix2d.js:119-133 — bit-identical by
+    construction) in VMEM. Saves the XLA-materialized upsampled base +
+    its padded copy (~0.85 GB of HBM traffic per 64-batch at 480p) and
+    reads 4x fewer input bytes.
 
     ``taps_per_scale[s]`` is a tuple of float taps, or None when scale s
     is the unblurred base (octave ≥1 scale 0, background.js:110-143).
@@ -200,8 +210,10 @@ def _octave_kernel(
     def dma_for(slot, kk):
         bb = kk // n_si
         ss = kk - bb * n_si
+        stride = tile_h // 2 if upsample2x else tile_h
+        rows = hp_in if upsample2x else hp
         return pltpu.make_async_copy(
-            padded_hbm.at[bb, pl.ds(ss * tile_h, hp), :],
+            padded_hbm.at[bb, pl.ds(ss * stride, rows), :],
             stripe_scratch.at[slot],
             sem.at[slot],
         )
@@ -231,7 +243,38 @@ def _octave_kernel(
     th2 = tile_h + 2 * hx
     w2 = w + 2 * hx
 
-    stripe = stripe_scratch[slot]  # (hp, wp)
+    if upsample2x:
+        # NN 2x upsample of the half-res window, then align: the
+        # upsampled window starts 2*ceil(rh/2) - rh ∈ {0, 1} rows/cols
+        # before the logical stripe window (stripe starts are even, so
+        # the parity offset is a compile-time constant). Rows duplicate
+        # via sublane repeat; lanes via a 0/1 dup-matrix matmul per
+        # 64→128 lane block (bit-exact: each output is 1.0 × value) —
+        # Mosaic rejects the lane-axis repeat/reshape forms
+        # ("unsupported shape cast").
+        par = rh & 1
+        orig = stripe_scratch[slot]  # (hp_in, wp_in)
+        rows2 = jnp.repeat(orig, 2, axis=0)  # (2*hp_in, wp_in)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
+        dup = ((c_i >> 1) == r_i).astype(rows2.dtype)
+        wp_in = orig.shape[-1]
+        up = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    rows2[:, 64 * j : 64 * (j + 1)],
+                    dup,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=rows2.dtype,
+                )
+                for j in range(wp_in // 64)
+            ],
+            axis=1,
+        )  # (2*hp_in, 2*wp_in)
+        stripe = up[par:, par:]  # consumed below as if (hp, wp)
+    else:
+        stripe = stripe_scratch[slot]  # (hp, wp)
     prev = None
     dogs = []
     for s, taps in enumerate(taps_per_scale):
@@ -356,8 +399,15 @@ def fused_octave(
     interpret: bool = False,
     dog_dtype=None,
     flat_detect: bool = False,
+    upsample2x: bool = False,
 ):
     """Whole-octave pyramid+DoG (+ extrema masks) from the octave base.
+
+    ``upsample2x=True``: ``base`` is the ORIGINAL-resolution image and
+    the reference's 2x nearest-neighbor upsample
+    (reference/background.js:84) happens inside the kernel by pixel
+    duplication — bit-identical to ``resize.upsample2x_nn`` but the
+    upsampled base and its padded copy never touch HBM.
 
     ``flat_detect=True`` (detect path, requires ``emit_scales=False``)
     emits the DoG in STRIPE-MAJOR layout — ``(B, n_stripes, S-1,
@@ -393,6 +443,8 @@ def fused_octave(
     the refinement inputs quantize.
     """
     b, h, w = base.shape
+    if upsample2x:
+        h, w = 2 * h, 2 * w  # logical (upsampled) geometry
     n_scales = len(sigmas)
     dog_dtype = base.dtype if dog_dtype is None else jnp.dtype(dog_dtype)
     radii = [kernel_radius(s) for s in sigmas if s is not None]
@@ -419,14 +471,36 @@ def fused_octave(
     # Pad so every stripe's aligned slice stays in bounds, and the width
     # to the aligned lane count (clamp-to-edge on real borders; the
     # alignment tail replicates the edge too, harmless — it is cropped).
-    rows_needed = (n_stripes - 1) * tile_h + hp
-    bottom_pad = max(rows_needed - h - rh, 0)
-    right_pad = wp - w - rh
-    padded = jnp.pad(
-        base,
-        [(0, 0), (rh, bottom_pad), (rh, right_pad)],
-        mode="edge",
-    )
+    hp_in = None
+    if upsample2x:
+        # Pad the ORIGINAL image: rh2 = ceil(rh/2) original pixels of
+        # clamp halo cover the logical rh (NN duplication replicates
+        # the clamp border exactly). Stripe ss's logical window
+        # [ss*tile_h - rh, +hp) maps to original rows starting at
+        # padded row ss*(tile_h//2) — same regular stride structure.
+        rh2 = (rh + 1) // 2
+        hp_in = _align(hp // 2 + 1, 8)  # sublane-repeat needs 8-aligned
+        wp_in = _align(wp // 2 + 1, 128)
+        rows_needed = (n_stripes - 1) * (tile_h // 2) + hp_in
+        h0, w0 = base.shape[-2], base.shape[-1]
+        padded = jnp.pad(
+            base,
+            [
+                (0, 0),
+                (rh2, max(rows_needed - h0 - rh2, 0)),
+                (rh2, wp_in - w0 - rh2),
+            ],
+            mode="edge",
+        )
+    else:
+        rows_needed = (n_stripes - 1) * tile_h + hp
+        bottom_pad = max(rows_needed - h - rh, 0)
+        right_pad = wp - w - rh
+        padded = jnp.pad(
+            base,
+            [(0, 0), (rh, bottom_pad), (rh, right_pad)],
+            mode="edge",
+        )
     # The kernel DMAs each overlapping (hp, wp) window straight from the
     # HBM-resident padded image (BlockSpec blocks cannot overlap, and
     # materializing an overlapping-stripe tensor in XLA measured 62 ms
@@ -504,6 +578,8 @@ def fused_octave(
         contrast_thr=float(contrast_thr),
         h=h,
         double_buffer=DOUBLE_BUFFER_DMA,
+        upsample2x=upsample2x,
+        hp_in=hp_in,
     )
     flops = 0
     for taps in taps_per_scale:
@@ -518,7 +594,10 @@ def fused_octave(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((2, hp, wp), base.dtype),
+            pltpu.VMEM(
+                (2, hp_in, wp_in) if upsample2x else (2, hp, wp),
+                base.dtype,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
