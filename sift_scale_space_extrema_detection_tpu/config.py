@@ -63,11 +63,17 @@ class SiftConfig:
     # entry repeats for deeper iterations. Refinement cost is gather-
     # bound and per-slot, and the measured survivor fractions at the
     # bench config are 21% / 7% / 4% / 3% of VALID candidates after
-    # iterations 1-4 (slots >= valid), so these caps carry >=1.6x
-    # headroom; actives beyond a cap keep the REJECT_MAX_ITERATIONS
-    # fate they already hold (same failure semantics as the single-cap
-    # knob above). Empty tuple = use ``refine_active_compaction`` as a
-    # single-entry ladder (round-2 behavior).
+    # iterations 1-4 (in slot terms: 14% / 4.6% / 2.6% / 2.0% of
+    # slots), so these caps carry >=2.4x headroom; actives beyond a cap
+    # keep the REJECT_MAX_ITERATIONS fate they already hold (same
+    # failure semantics as the single-cap knob above). Tighter ladders
+    # were measured and rejected: (0.25, ...) drops 0.87% of accepted
+    # keypoints on dense noise images (per-image survivor variance),
+    # and (0.35, 0.10, 0.06) keeps the accepted set but changes
+    # REJECTED candidates' taxonomy under load, for only ~3 ms — full
+    # output identity wins. Empty tuple = use
+    # ``refine_active_compaction`` as a single-entry ladder (round-2
+    # behavior).
     refine_compaction_schedule: tuple = (0.35, 0.15, 0.08)
 
     # Refine ALL octaves' candidates in ONE pass over a concatenated
