@@ -95,7 +95,20 @@ def _plan(
     # +1 halo pixel for the extrema windows when masks are emitted.
     rh = r_max + (1 if n_halo_planes else 0)
     wp = _align(w + 2 * rh, 128)
-    for tile_h in (128, 64, 32, 16, 8):
+    # (tile_h, row-pass accumulation chunk): Mosaic materializes a
+    # temporary per unrolled tap slice, so chunking the row pass over
+    # column blocks shrinks the per-tap term by wp/chunk and unlocks
+    # taller stripes — fewer grid steps at ~7 µs of per-step overhead
+    # each (tile 32 no-chunk / 32+512 / 64+256 measured 21.1 / 18.3 /
+    # 16.0 ms on the octave-0 IO+taps core).
+    for tile_h, chunk in (
+        (128, 256),
+        (64, 256),
+        (32, 512),
+        (32, 0),
+        (16, 0),
+        (8, 0),
+    ):
         hp = _align(tile_h + 2 * rh, 8)
         stripe_bytes = 4 * hp * wp
         out_bytes = 4 * n_out_planes * tile_h * w
@@ -107,30 +120,29 @@ def _plan(
             if n_halo_planes
             else 0
         )
-        # two DMA'd stripe scratch buffers (the input is manually DMA'd
-        # from HBM — overlapping windows are inexpressible as a
-        # BlockSpec, and materializing an overlapping-stripe tensor in
-        # XLA measured 62 ms of octave 0's 122 ms at batch 64, more
-        # than the kernel itself; double buffering hides the copy
-        # behind the previous stripe's compute) + tap temporaries +
+        # Terms: two DMA'd stripe scratch slots (the input is manually
+        # DMA'd from HBM — overlapping windows are inexpressible as a
+        # BlockSpec) + one stripe-sized temp (the in-kernel 2x
+        # upsample / full row-pass buffer) + per-tap temporaries (chunk
+        # width when chunked) + rp/cur accumulators + scan scratch +
         # double-buffered outputs.
         # NOTE on the bandwidth story (round 3, benchmarks/bw_probe.py):
         # round 2's "~100 GB/s effective writes" was a measurement
         # artifact (a ~30 ms per-sync tunnel round-trip); sustained
         # rates are 276-885 GB/s writes (tenancy-variable), ~250 GB/s
         # reads. The kernel's remaining gap to its traffic floor is
-        # structural: a copy-only kernel with this exact grid/output
-        # shape sustains only ~110-180 GB/s (plane-stacked block
-        # writes), and the tap compute + mask scan add ~2x on top.
+        # in-kernel compute + per-step overhead, not HBM.
+        tap_w = _align(chunk + 2 * rh, 128) if chunk else wp
         need = (
-            2 * stripe_bytes
-            + (taps_max + 1) * stripe_bytes
+            3 * stripe_bytes
+            + (taps_max + 1) * 4 * hp * tap_w
+            + 2 * 4 * hp * wp  # rp + cur accumulators
             + halo_bytes
             + mask_bytes
             + 2 * out_bytes
         )
         if need <= _VMEM_BUDGET:
-            return tile_h, hp, wp, rh
+            return tile_h, hp, wp, rh, chunk
     return None
 
 
@@ -162,6 +174,7 @@ def _octave_kernel(
     double_buffer,
     upsample2x=False,
     hp_in=None,
+    row_chunk=0,
 ):
     """One (batch, stripe) grid step: all scales + DoG (+ masks).
 
@@ -283,13 +296,25 @@ def _octave_kernel(
             cur = stripe[rh - hx : rh - hx + th2, rh - hx : rh - hx + w2]
         else:
             r = (len(taps) - 1) // 2
-            # Row pass over the rows the column pass will consume.
+            # Row pass over the rows the column pass will consume,
+            # accumulated in column chunks: Mosaic materializes one
+            # temporary per unrolled tap slice, and chunk-width temps
+            # (vs stripe-width) are what lets the plan pick taller
+            # stripes (see _plan).
             y0 = rh - r - hx
             x0 = rh - r - hx
             rows = stripe[y0 : y0 + th2 + 2 * r]
-            rp = rows[:, x0 : x0 + w2] * taps[0]
-            for t in range(1, len(taps)):
-                rp = rp + rows[:, x0 + t : x0 + t + w2] * taps[t]
+            cw_full = row_chunk if row_chunk else w2
+            parts = []
+            for cx in range(0, w2, cw_full):
+                cw = min(cw_full, w2 - cx)
+                acc = rows[:, x0 + cx : x0 + cx + cw] * taps[0]
+                for t in range(1, len(taps)):
+                    acc = acc + rows[:, x0 + cx + t : x0 + cx + t + cw] * taps[t]
+                parts.append(acc)
+            rp = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )
             # Column pass → (th2, w2).
             cur = rp[0:th2] * taps[0]
             for t in range(1, len(taps)):
@@ -458,7 +483,7 @@ def fused_octave(
     plan = _plan(h, w, radii, n_out_planes, n_halo)
     if plan is None:
         raise ValueError("no stripe plan fits VMEM; use the XLA fallback")
-    tile_h, hp, wp, rh = plan
+    tile_h, hp, wp, rh, row_chunk = plan
 
     taps_per_scale = tuple(
         None
@@ -580,6 +605,7 @@ def fused_octave(
         double_buffer=DOUBLE_BUFFER_DMA,
         upsample2x=upsample2x,
         hp_in=hp_in,
+        row_chunk=row_chunk,
     )
     flops = 0
     for taps in taps_per_scale:
