@@ -120,6 +120,15 @@ def main() -> None:
         help="dump a jax.profiler (Perfetto) trace of one timed "
         "iteration to DIR",
     )
+    ap.add_argument(
+        "--describe",
+        action="store_true",
+        help="also time the detect+describe path (orientations + 128-D "
+        "descriptors) — BASELINE config[2]'s throughput leg",
+    )
+    ap.add_argument(
+        "--octaves", type=int, default=4, help="num_octaves (bench default 4)"
+    )
     args = ap.parse_args()
 
     import jax
@@ -135,7 +144,11 @@ def main() -> None:
     )
 
     batch, h, w = args.batch, 480, 640
-    cfg = SiftConfig(num_octaves=4, scales_per_octave=5, max_keypoints_per_trio=512)
+    cfg = SiftConfig(
+        num_octaves=args.octaves,
+        scales_per_octave=5,
+        max_keypoints_per_trio=512,
+    )
     if args.unified:
         import dataclasses
 
@@ -273,6 +286,24 @@ def main() -> None:
         sel_s = time_sustained(lambda: select_only(*arrs))
         ref_s = time_sustained(lambda: select_and_refine(*arrs)) - sel_s
 
+    # --- detect + describe (config[2]'s throughput leg) ------------------
+    desc_s = n_desc = None
+    if args.describe:
+        from sift_scale_space_extrema_detection_tpu.models.frontend import (
+            detect_and_describe_batched_jit,
+        )
+
+        for _ in range(2):
+            dd = detect_and_describe_batched_jit(images, cfg, args.blur)
+            sync_scalar(jnp.sum(dd.abs_sigma))
+        n_desc = int(sync_scalar(jnp.sum(dd.valid.astype(jnp.int32))))
+
+        def _desc():
+            dd = detect_and_describe_batched_jit(images, cfg, args.blur)
+            return jnp.sum(dd.abs_sigma)
+
+        desc_s = time_sustained(_desc)
+
     ideal_bytes = detect_traffic_bytes(
         batch, h, w, cfg,
         dog_bytes=2 if args.blur == "fused_bf16" else 4,
@@ -301,6 +332,11 @@ def main() -> None:
     if sel_s is not None:
         out["selection_ms"] = round(sel_s * 1e3, 2)
         out["refinement_ms"] = round(ref_s * 1e3, 2)
+    if desc_s is not None:
+        out["describe_total_ms"] = round(desc_s * 1e3, 2)
+        out["describe_frames_per_s"] = round(batch / desc_s, 1)
+        out["described_keypoints_per_s"] = round(n_desc / desc_s, 1)
+        out["described_keypoints_per_image"] = round(n_desc / batch, 1)
     print(json.dumps(out))
 
 

@@ -83,6 +83,12 @@ def main() -> None:
         help="force the CPU backend (the axon sitecustomize overrides "
         "JAX_PLATFORMS=cpu, so an env var alone cannot)",
     )
+    ap.add_argument(
+        "--breakdown",
+        action="store_true",
+        help="per-stage wall-clock attribution (syncs at stage "
+        "boundaries — slower than the headline run; see utils/profile.py)",
+    )
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -121,26 +127,35 @@ def main() -> None:
     run_slam_from_images(images, k_mat, sift_cfg, slam_cfg, **kw)
     t_compile_pass = time.perf_counter() - t0
 
+    prof = None
+    if args.breakdown:
+        from sift_scale_space_extrema_detection_tpu.utils.profile import (
+            StageProfile,
+        )
+
+        prof = StageProfile()
+
     t0 = time.perf_counter()
-    result = run_slam_from_images(images, k_mat, sift_cfg, slam_cfg, **kw)
+    result = run_slam_from_images(
+        images, k_mat, sift_cfg, slam_cfg, profile=prof, **kw
+    )
     dt = time.perf_counter() - t0
 
     ate = evaluate_ate(result, gt_r, gt_t)
-    print(
-        json.dumps(
-            {
-                "frames": args.frames,
-                "image": f"{w}x{h}",
-                "slam_frames_per_s": round(args.frames / dt, 2),
-                "total_s": round(dt, 2),
-                "ate": round(ate, 4),
-                "landmarks": int(result.landmark_valid.sum()),
-                "observations": int(result.num_observations),
-                "first_pass_s": round(t_compile_pass, 2),
-                "render_s": round(t_render, 2),
-            }
-        )
-    )
+    out = {
+        "frames": args.frames,
+        "image": f"{w}x{h}",
+        "slam_frames_per_s": round(args.frames / dt, 2),
+        "total_s": round(dt, 2),
+        "ate": round(ate, 4),
+        "landmarks": int(result.landmark_valid.sum()),
+        "observations": int(result.num_observations),
+        "first_pass_s": round(t_compile_pass, 2),
+        "render_s": round(t_render, 2),
+    }
+    if prof is not None:
+        out["breakdown"] = prof.report(total_frames=args.frames)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

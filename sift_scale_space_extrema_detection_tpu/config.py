@@ -110,6 +110,33 @@ class SiftConfig:
     descriptor_grid_size: int = 16  # G×G samples for the descriptor
     descriptor_clip: float = 0.2  # component clamp before renormalize
 
+    # Unified cross-octave describe (ops/descriptor.py::describe_compact):
+    # valid keypoints are compacted into ``describe_compaction`` × (total
+    # refine slots) before the per-slot sampling stages — describe cost
+    # is per SLOT (~38 µs on TPU, round-4 probe) and valid occupancy at
+    # the bench config is ~35 %. Overflow drops trailing keypoints
+    # (observable via the valid count). 1.0 ≈ no compaction.
+    compact_describe: bool = True
+    describe_compaction: float = 0.5
+    # Valid (keypoint, orientation-peak) pairs are further compacted to
+    # ``descriptor_pair_compaction`` × (describe capacity × max
+    # orientations) before the descriptor pass (~75 % of valid keypoints'
+    # pair slots hold a real second peak at the bench config).
+    descriptor_pair_compaction: float = 0.75
+    # Upright mode: skip orientation assignment, θ=0 for every keypoint.
+    # For video/SLAM tracking (inter-frame rotation ≪ bin width) — the
+    # orientation stage is ~40 % of describe cost. NOT rotation
+    # invariant; off for general matching. Only the compacted describe
+    # path implements it (validated in __post_init__).
+    upright: bool = False
+
+    def __post_init__(self):
+        if self.upright and not self.compact_describe:
+            raise ValueError(
+                "upright=True requires compact_describe=True (the "
+                "per-octave describe path has no upright mode)"
+            )
+
     # ----------------------------------------------------------------------
     @property
     def scales_per_octave_total(self) -> int:
@@ -187,6 +214,20 @@ class SiftConfig:
         """Post-compaction candidate slots fed to refinement per octave."""
         total = self.keypoints_per_trio(octave) * self.trios_per_octave
         return min(total, max(64, int(total * self.refine_compaction)))
+
+    def describe_capacity(self) -> int:
+        """Compacted keypoint slots fed to the unified describe pass."""
+        total = sum(self.refine_capacity(o) for o in range(self.num_octaves))
+        return min(total, max(128, int(total * self.describe_compaction)))
+
+    def descriptor_pair_capacity(self) -> int:
+        """Compacted (keypoint, orientation) pairs in the descriptor pass."""
+        if self.upright:
+            return self.describe_capacity()
+        full = self.describe_capacity() * self.max_orientations_per_keypoint
+        return min(
+            full, max(128, int(full * self.descriptor_pair_compaction))
+        )
 
     def max_keypoints_per_octave(self) -> int:
         return self.max_keypoints_per_trio * self.trios_per_octave

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from ..core.types import Extrema, Keypoints, concat_keypoints
-from ..ops.descriptor import DescribedKeypoints, concat_described, describe_octave
+from ..ops.descriptor import (
+    DescribedKeypoints,
+    concat_described,
+    describe_compact,
+    describe_octave,
+)
 from ..ops.dog import difference_of_gaussians
 from ..ops.extrema import (
     compact_extrema,
@@ -310,7 +315,7 @@ def detect_and_describe(
         scale_space = build_scale_space(image, cfg, blur)
         dog = build_dog(scale_space)
         masks = [None] * cfg.num_octaves
-    described = []
+    kps = []
     for octave, (stack, d, m) in enumerate(zip(scale_space, dog, masks)):
         if m is None:
             extrema = compact_extrema(
@@ -321,9 +326,15 @@ def detect_and_describe(
             extrema = select_refine_candidates(
                 m, d, cfg, cfg.refine_capacity(octave)
             )
-        keypoints = refine_keypoints(d, extrema, octave, cfg)
-        described.append(describe_octave(stack, keypoints, octave, cfg))
-    return concat_described(described)
+        kps.append(refine_keypoints(d, extrema, octave, cfg))
+    if cfg.compact_describe:
+        return describe_compact(list(scale_space), kps, cfg)
+    return concat_described(
+        [
+            describe_octave(stack, kp, octave, cfg)
+            for octave, (stack, kp) in enumerate(zip(scale_space, kps))
+        ]
+    )
 
 
 def detect_and_describe_batched(
@@ -352,8 +363,8 @@ def detect_and_describe_batched(
         dogs = arrs[n : 2 * n]
         mask_iter = iter(arrs[2 * n :])
         ms = [next(mask_iter) if hm else None for hm in have_mask]
-        described = []
-        for octave, (stack, d, m) in enumerate(zip(stacks, dogs, ms)):
+        kps = []
+        for octave, (d, m) in enumerate(zip(dogs, ms)):
             if m is None:
                 extrema = compact_extrema(
                     find_extrema(d, cfg, cfg.keypoints_per_trio(octave)),
@@ -363,9 +374,15 @@ def detect_and_describe_batched(
                 extrema = select_refine_candidates(
                     m, d, cfg, cfg.refine_capacity(octave)
                 )
-            keypoints = refine_keypoints(d, extrema, octave, cfg)
-            described.append(describe_octave(stack, keypoints, octave, cfg))
-        return concat_described(described)
+            kps.append(refine_keypoints(d, extrema, octave, cfg))
+        if cfg.compact_describe:
+            return describe_compact(list(stacks), kps, cfg)
+        return concat_described(
+            [
+                describe_octave(stack, kp, octave, cfg)
+                for octave, (stack, kp) in enumerate(zip(stacks, kps))
+            ]
+        )
 
     return jax.vmap(one)(*scale_space, *dog, *mask_arrays)
 

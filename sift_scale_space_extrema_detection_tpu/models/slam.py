@@ -73,6 +73,17 @@ class SlamResult:
     num_observations: int
 
 
+def _prof_iter(iterable, st, name):
+    """Wrap each loop-body execution of ``iterable`` in a profile stage.
+
+    The ``with`` around ``yield`` times from just before the yield until
+    control re-enters the generator — exactly the caller's loop body.
+    """
+    for item in iterable:
+        with st(name):
+            yield item
+
+
 def _pad_obs(cam, lm, uv, valid):
     """Pad observation buffers to the next power-of-two bucket."""
     n = len(cam)
@@ -147,6 +158,7 @@ def run_slam(
     checkpoint_interval: int = 10,
     resume: bool = False,
     _stop_after: int | None = None,
+    profile=None,
 ) -> SlamResult:
     """Run incremental SLAM over per-frame measurements.
 
@@ -163,9 +175,20 @@ def run_slam(
     checkpoint and continues mid-sequence (SURVEY.md §5.4).
     ``_stop_after`` aborts after processing that frame index (fault
     injection for the resume tests); the final BA is skipped for a
-    stopped run.
+    stopped run. ``profile``: an optional
+    :class:`~..utils.profile.StageProfile` that records per-stage
+    wall-clock (syncing at stage boundaries — attribution mode, slower
+    than production).
     """
     cfg = cfg or SlamConfig()
+    from contextlib import nullcontext
+
+    def _st(name):
+        return profile.stage(name) if profile is not None else nullcontext()
+
+    def _sync(val):
+        if profile is not None:
+            profile.sync(val)
     num_frames, num_landmarks = visible.shape
     k_jnp = jnp.asarray(k_mat)
     fx = k_mat[0, 0]
@@ -309,23 +332,27 @@ def run_slam(
         )
         uv_in = jnp.asarray(np.pad(pixels[f, ids_map], ((0, pad), (0, 0))))
         valid_in = jnp.asarray(np.arange(cap) < len(ids_map))
-        r_new, t_new, rms = solve_pnp(
-            pts_in,
-            uv_in,
-            valid_in,
-            k_jnp,
-            r0,
-            t0,
-            iterations=cfg.pnp_iterations,
-            huber_delta=cfg.huber_px,
-        )
-        est_r[f], est_t[f] = jax.device_get((r_new, t_new))  # one fetch
+        with _st("pnp"):
+            r_new, t_new, rms = solve_pnp(
+                pts_in,
+                uv_in,
+                valid_in,
+                k_jnp,
+                r0,
+                t0,
+                iterations=cfg.pnp_iterations,
+                huber_delta=cfg.huber_px,
+            )
+            est_r[f], est_t[f] = jax.device_get((r_new, t_new))  # one fetch
+        if profile is not None:
+            profile.count()
 
         # Record observations of mapped landmarks.
-        for i in ids_map:
-            obs_cam.append(f)
-            obs_lm.append(int(i))
-            obs_uv.append(pixels[f, i])
+        with _st("obs_record"):
+            for i in ids_map:
+                obs_cam.append(f)
+                obs_lm.append(int(i))
+                obs_uv.append(pixels[f, i])
 
         # Triangulate landmarks now visible twice but not yet in the map.
         # ONE vmapped midpoint solve over all candidates with per-point
@@ -345,16 +372,19 @@ def run_slam(
             t_a = np.pad(est_t[f0s], ((0, pad), (0, 0)))
             uv_a = np.pad(pixels[f0s, cand], ((0, pad), (0, 0)))
             uv_b = np.pad(pixels[f, cand], ((0, pad), (0, 0)))
-            tri, depths = _triangulate_candidates(
-                jnp.asarray(r_a),
-                jnp.asarray(t_a),
-                jnp.asarray(est_r[f]),
-                jnp.asarray(est_t[f]),
-                jnp.asarray(uv_a),
-                jnp.asarray(uv_b),
-                k_jnp,
-            )
-            p, depths = jax.device_get((tri, depths))  # one fetch
+            with _st("triangulate"):
+                tri, depths = _triangulate_candidates(
+                    jnp.asarray(r_a),
+                    jnp.asarray(t_a),
+                    jnp.asarray(est_r[f]),
+                    jnp.asarray(est_t[f]),
+                    jnp.asarray(uv_a),
+                    jnp.asarray(uv_b),
+                    k_jnp,
+                )
+                p, depths = jax.device_get((tri, depths))  # one fetch
+            if profile is not None:
+                profile.count()
             p = p[:n]
             depths = depths[:n]
             # Parallax gate: rays must subtend enough angle.
@@ -387,26 +417,29 @@ def run_slam(
 
         # Windowed BA.
         if f % cfg.ba_interval == 0 and len(obs_cam) > 30:
-            fixed = max(1, f + 1 - cfg.ba_window)
-            state = BAState(
-                rotations=jnp.asarray(est_r[: f + 1]),
-                translations=jnp.asarray(est_t[: f + 1]),
-                points=jnp.asarray(np.nan_to_num(points, nan=1.0)),
-                k_mat=k_jnp,
-            )
-            obs = _pad_obs(
-                np.asarray(obs_cam),
-                np.asarray(obs_lm),
-                np.asarray(obs_uv),
-                np.ones(len(obs_cam), bool),
-            )
-            refined, _ = _ba(state, obs, cfg.ba_iterations, fixed)
-            r_h, t_h, upd = jax.device_get(
-                (refined.rotations, refined.translations, refined.points)
-            )
-            est_r[: f + 1] = r_h
-            est_t[: f + 1] = t_h
-            points[lm_valid] = upd[lm_valid]
+            with _st("ba_windowed"):
+                fixed = max(1, f + 1 - cfg.ba_window)
+                state = BAState(
+                    rotations=jnp.asarray(est_r[: f + 1]),
+                    translations=jnp.asarray(est_t[: f + 1]),
+                    points=jnp.asarray(np.nan_to_num(points, nan=1.0)),
+                    k_mat=k_jnp,
+                )
+                obs = _pad_obs(
+                    np.asarray(obs_cam),
+                    np.asarray(obs_lm),
+                    np.asarray(obs_uv),
+                    np.ones(len(obs_cam), bool),
+                )
+                refined, _ = _ba(state, obs, cfg.ba_iterations, fixed)
+                r_h, t_h, upd = jax.device_get(
+                    (refined.rotations, refined.translations, refined.points)
+                )
+                est_r[: f + 1] = r_h
+                est_t[: f + 1] = t_h
+                points[lm_valid] = upd[lm_valid]
+            if profile is not None:
+                profile.count()
 
         if checkpoint_dir is not None and (
             f % checkpoint_interval == 0 or f == num_frames - 1
@@ -485,7 +518,7 @@ def run_slam(
         from ..sfm.ba import reprojection_residuals
 
         obs_valid = np.ones(len(obs_cam), bool)
-        for _round in range(2):
+        for _round in _prof_iter(range(2), _st, "ba_final"):
             state = BAState(
                 rotations=jnp.asarray(est_r),
                 translations=jnp.asarray(est_t),
@@ -619,6 +652,7 @@ def build_tracks_from_images(
     mesh=None,
     reassoc_window: int = 0,
     frontend_chunk: int = 16,
+    profile=None,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -640,7 +674,12 @@ def build_tracks_from_images(
     BASELINE.json config[4]); results are identical to the
     single-device path.
     """
+    from contextlib import nullcontext
+
     from .frontend import detect_and_describe_batched_jit
+
+    def _st(name):
+        return profile.stage(name) if profile is not None else nullcontext()
 
     # Frontend in fixed-size chunks: the describe path materializes the
     # Gaussian stacks, so a long sequence in ONE batch exceeds HBM
@@ -662,7 +701,7 @@ def build_tracks_from_images(
     num_frames_total = images.shape[0]
     n_dev = mesh.devices.size if mesh is not None else 1
     parts = []
-    for lo in range(0, num_frames_total, chunk):
+    for lo in _prof_iter(range(0, num_frames_total, chunk), _st, "frontend"):
         part = np.asarray(images[lo : lo + chunk], np.float32)
         n_part = part.shape[0]
         if len(parts):  # tail: pad to reuse the compiled shape
@@ -679,15 +718,18 @@ def build_tracks_from_images(
         if pad:
             out = jax.tree.map(lambda a: a[:n_part], out)
         parts.append(out)
-    described = (
-        parts[0]
-        if len(parts) == 1
-        else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    )
-    valid = np.asarray(described.valid)
-    xs = np.asarray(described.abs_x)
-    ys = np.asarray(described.abs_y)
-    desc = np.asarray(described.descriptor)
+    with _st("frontend"):
+        described = (
+            parts[0]
+            if len(parts) == 1
+            else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        )
+        valid = np.asarray(described.valid)
+        xs = np.asarray(described.abs_x)
+        ys = np.asarray(described.abs_y)
+        desc = np.asarray(described.descriptor)
+    if profile is not None:
+        profile.count()
 
     num_frames = images.shape[0]
     track_of = np.full(valid.shape, -1, np.int64)  # (F, slots)
@@ -705,13 +747,16 @@ def build_tracks_from_images(
     # vmapped match over the F-1 pairs, then ONE vmapped RANSAC over the
     # padded per-pair correspondences. The host loop below only chains
     # precomputed arrays.
-    d_all = jnp.asarray(desc)
-    v_all = jnp.asarray(valid)
-    cons_idx, cons_val = _match_consecutive(d_all, v_all, match_ratio)
-    cons_idx = np.asarray(cons_idx)
-    cons_val = np.asarray(cons_val)
-    pair_is = [np.where(cons_val[p])[0] for p in range(num_frames - 1)]
-    pair_js = [cons_idx[p, pi] for p, pi in enumerate(pair_is)]
+    with _st("match_consecutive"):
+        d_all = jnp.asarray(desc)
+        v_all = jnp.asarray(valid)
+        cons_idx, cons_val = _match_consecutive(d_all, v_all, match_ratio)
+        cons_idx = np.asarray(cons_idx)
+        cons_val = np.asarray(cons_val)
+        pair_is = [np.where(cons_val[p])[0] for p in range(num_frames - 1)]
+        pair_js = [cons_idx[p, pi] for p, pi in enumerate(pair_is)]
+    if profile is not None:
+        profile.count()
 
     if k_mat is not None and num_frames > 1:
         counts = [len(pi) for pi in pair_is]
@@ -730,17 +775,20 @@ def build_tracks_from_images(
         keys = np.stack(
             [np.asarray(jax.random.PRNGKey(f)) for f in range(1, num_frames)]
         )
-        inliers = np.asarray(
-            _verify_pairs(
-                jnp.asarray(uv1),
-                jnp.asarray(uv2),
-                jnp.asarray(mask),
-                jnp.asarray(k_mat, jnp.float32),
-                jnp.asarray(keys),
-                ransac_threshold_px / float(k_mat[0, 0]),
-                256,
+        with _st("ransac_verify"):
+            inliers = np.asarray(
+                _verify_pairs(
+                    jnp.asarray(uv1),
+                    jnp.asarray(uv2),
+                    jnp.asarray(mask),
+                    jnp.asarray(k_mat, jnp.float32),
+                    jnp.asarray(keys),
+                    ransac_threshold_px / float(k_mat[0, 0]),
+                    256,
+                )
             )
-        )
+        if profile is not None:
+            profile.count()
         for p, n in enumerate(counts):
             if n >= 8:  # below 8 the model is underdetermined: keep all
                 keep = inliers[p, :n]
@@ -757,13 +805,16 @@ def build_tracks_from_images(
             lo = max(0, f - 1 - reassoc_window)
             kfs = range(lo, f - 1)
             kf_table[i, : len(kfs)] = list(kfs)
-        w_idx_all, w_val_all = _match_window(
-            d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table), match_ratio
-        )
-        w_idx_all = np.asarray(w_idx_all)
-        w_val_all = np.asarray(w_val_all)
+        with _st("match_window"):
+            w_idx_all, w_val_all = _match_window(
+                d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table), match_ratio
+            )
+            w_idx_all = np.asarray(w_idx_all)
+            w_val_all = np.asarray(w_val_all)
+        if profile is not None:
+            profile.count()
 
-    for f in range(1, num_frames):
+    for f in _prof_iter(range(1, num_frames), _st, "chain_tracks"):
         pair_i = pair_is[f - 1]
         pair_j = pair_js[f - 1]
 
@@ -852,6 +903,7 @@ def run_slam_from_images(
     reassoc_window: int = 0,
     blur: str = "separable",
     frontend_chunk: int = 16,
+    profile=None,
     **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
@@ -866,9 +918,12 @@ def run_slam_from_images(
     pixels, visible, _ = build_tracks_from_images(
         images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio,
         mesh=mesh, reassoc_window=reassoc_window, blur=blur,
-        frontend_chunk=frontend_chunk,
+        frontend_chunk=frontend_chunk, profile=profile,
     )
-    return run_slam(pixels, visible, k_mat, slam_cfg, mesh=mesh, **slam_kwargs)
+    return run_slam(
+        pixels, visible, k_mat, slam_cfg, mesh=mesh, profile=profile,
+        **slam_kwargs,
+    )
 
 
 def evaluate_ate(result: SlamResult, gt_rotations, gt_translations) -> float:

@@ -123,3 +123,78 @@ def test_rotation_equivariance(test_image):
     assert matched >= 10, f"only {matched} matched keypoints"
     assert agree_theta / matched > 0.7, (agree_theta, matched)
     assert agree_desc / matched > 0.7, (agree_desc, matched)
+
+
+# ---------------------------------------------------------------------------
+# Unified compacted describe path (ops/descriptor.py::describe_compact)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_valid(d, b=None):
+    v = np.asarray(d.valid if b is None else d.valid[b])
+    pick = lambda f: np.asarray(f if b is None else f[b])[v]
+    fields = [pick(d.abs_y), pick(d.abs_x), pick(d.abs_sigma), pick(d.theta)]
+    descs = pick(d.descriptor)
+    order = np.lexsort((fields[3], fields[2], fields[1], fields[0]))
+    return [f[order] for f in fields], descs[order]
+
+
+def test_compact_describe_matches_per_octave(test_image):
+    """Compacted cross-octave describe = per-octave describe, bit-exact.
+
+    Same keypoint set (order-insensitive), same thetas, same
+    descriptors — compaction only removes invalid slots.
+    """
+    import dataclasses
+
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        detect_and_describe,
+    )
+
+    img = jnp.asarray(test_image)
+    old = detect_and_describe(
+        img, dataclasses.replace(CFG, compact_describe=False)
+    )
+    new = detect_and_describe(
+        img, dataclasses.replace(CFG, compact_describe=True)
+    )
+    (fo, do) = _sorted_valid(old)
+    (fn, dn) = _sorted_valid(new)
+    assert len(fo[0]) == len(fn[0]) > 0
+    for a, c in zip(fo, fn):
+        np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(do, dn)
+
+
+def test_upright_mode(test_image):
+    """Upright: one θ=0 descriptor per unique keypoint position."""
+    import dataclasses
+
+    from sift_scale_space_extrema_detection_tpu.models.frontend import (
+        detect_and_describe,
+    )
+
+    img = jnp.asarray(test_image)
+    ref = detect_and_describe(img, CFG)
+    up = detect_and_describe(img, dataclasses.replace(CFG, upright=True))
+    v_r = np.asarray(ref.valid)
+    v_u = np.asarray(up.valid)
+    pos_r = set(
+        zip(
+            np.asarray(ref.abs_y)[v_r].tolist(),
+            np.asarray(ref.abs_x)[v_r].tolist(),
+        )
+    )
+    pos_u = set(
+        zip(
+            np.asarray(up.abs_y)[v_u].tolist(),
+            np.asarray(up.abs_x)[v_u].tolist(),
+        )
+    )
+    assert pos_r == pos_u and len(pos_u) > 0
+    assert np.all(np.asarray(up.theta)[v_u] == 0.0)
+
+
+def test_upright_requires_compact():
+    with pytest.raises(ValueError):
+        SiftConfig(upright=True, compact_describe=False)
