@@ -219,15 +219,32 @@ def run_slam(
     lm_valid = np.zeros(num_landmarks, bool)
     first_seen_kf = np.full(num_landmarks, -1, np.int64)
 
-    obs_cam: list[int] = []
-    obs_lm: list[int] = []
+    # Observation buffers: lists of ARRAYS (one per batch append),
+    # concatenated lazily — the round-3 per-int python appends measured
+    # as host overhead at scale.
+    obs_cam: list[np.ndarray] = []
+    obs_lm: list[np.ndarray] = []
     obs_uv: list[np.ndarray] = []
+
+    def _obs_arrays():
+        if not obs_cam:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros((0, 2)),
+            )
+        return (
+            np.concatenate(obs_cam),
+            np.concatenate(obs_lm),
+            np.concatenate(obs_uv),
+        )
 
     def _save_ckpt(frame: int) -> None:
         if checkpoint_dir is None:
             return
         from ..utils.checkpoint import save_checkpoint
 
+        oc, ol, ouv = _obs_arrays()
         save_checkpoint(
             checkpoint_dir,
             {
@@ -237,11 +254,9 @@ def run_slam(
                 "points": points,
                 "lm_valid": lm_valid,
                 "first_seen_kf": first_seen_kf,
-                "obs_cam": np.asarray(obs_cam, np.int64),
-                "obs_lm": np.asarray(obs_lm, np.int64),
-                "obs_uv": (
-                    np.stack(obs_uv) if obs_uv else np.zeros((0, 2))
-                ),
+                "obs_cam": oc,
+                "obs_lm": ol,
+                "obs_uv": ouv,
             },
             step=None,  # single rolling checkpoint
         )
@@ -261,9 +276,9 @@ def run_slam(
             points[:] = ck["points"]
             lm_valid[:] = ck["lm_valid"].astype(bool)
             first_seen_kf[:] = ck["first_seen_kf"]
-            obs_cam = [int(v) for v in ck["obs_cam"]]
-            obs_lm = [int(v) for v in ck["obs_lm"]]
-            obs_uv = [row for row in ck["obs_uv"]]
+            obs_cam = [np.asarray(ck["obs_cam"], np.int64)]
+            obs_lm = [np.asarray(ck["obs_lm"], np.int64)]
+            obs_uv = [np.asarray(ck["obs_uv"]).reshape(-1, 2)]
 
     def backproject(f_idx, ids):
         uv = pixels[f_idx, ids]
@@ -304,10 +319,9 @@ def run_slam(
         points[new_ids] = np.asarray(tri)[good]
         lm_valid[new_ids] = True
         for f in (0, 1):
-            for i in new_ids:
-                obs_cam.append(f)
-                obs_lm.append(int(i))
-                obs_uv.append(pixels[f, i])
+            obs_cam.append(np.full(len(new_ids), f, np.int64))
+            obs_lm.append(new_ids.astype(np.int64))
+            obs_uv.append(pixels[f, new_ids])
         # Every landmark seen at bootstrap records its earliest frame so its
         # first observation enters triangulation/BA later (not only the
         # frame-0 AND frame-1 common set).
@@ -315,69 +329,112 @@ def run_slam(
         only1 = visible[1] & ~visible[0]
         first_seen_kf[only1] = 1
 
-    # ---- incremental tracking -----------------------------------------
-    for f in range(max(2, resume_frame + 1), num_frames):
-        ids_map = np.where(visible[f] & lm_valid)[0]
-        if len(ids_map) < 6:
-            # Lost: hold the previous pose (constant-pose fallback).
-            est_r[f] = est_r[f - 1]
-            est_t[f] = est_t[f - 1]
-            continue
-        r0 = jnp.asarray(est_r[f - 1])
-        t0 = jnp.asarray(est_t[f - 1])
-        cap = 1 << max(6, (len(ids_map) - 1).bit_length())
-        pad = cap - len(ids_map)
-        pts_in = jnp.asarray(
-            np.pad(points[ids_map], ((0, pad), (0, 0)), constant_values=1.0)
-        )
-        uv_in = jnp.asarray(np.pad(pixels[f, ids_map], ((0, pad), (0, 0))))
-        valid_in = jnp.asarray(np.arange(cap) < len(ids_map))
+    # ---- incremental tracking: WINDOWED device dispatches --------------
+    # Round-3 measured the per-frame loop as pure round-trip latency:
+    # one PnP dispatch + one triangulation dispatch per frame at ~28 ms
+    # tunnel latency each (slam_bench --breakdown: pnp 27.5 ms/call,
+    # triangulate 28.4 ms/call — the device compute is microseconds).
+    # Frames are therefore tracked in windows of ``ba_interval`` frames
+    # against a map FROZEN at the window start: ONE lax.scan-of-PnP
+    # dispatch localizes the whole window (the scan carries the pose
+    # chain, so the motion-model init is preserved), then ONE batched
+    # triangulation inserts every landmark that became two-view
+    # observable anywhere in the window, then the windowed BA runs once.
+    # Device round-trips per window: 3, vs ~2 per FRAME before.
+    # Freezing the map for ≤W frames delays a new landmark's first use
+    # in PnP by at most one window (it still enters BA via its
+    # (first-seen, last-seen) observations immediately).
+    win = max(1, cfg.ba_interval)
+    lm_bucket = 1 << max(6, (num_landmarks - 1).bit_length())
+    lm_pad = lm_bucket - num_landmarks
+    pix_pad = np.pad(pixels, ((0, 0), (0, lm_pad), (0, 0)))
+    vis_pad = np.pad(visible, ((0, 0), (0, lm_pad)))
+
+    start_f = max(2, resume_frame + 1)
+    for base in range(start_f, num_frames, win):
+        end = min(base + win, num_frames)  # exclusive
+        w_act = end - base
+        vis_w = visible[base:end]  # (w_act, L)
+
+        # --- ONE PnP-scan dispatch for the window (frozen map) ---------
+        mask_w = vis_w & lm_valid[None, :]
+        counts = mask_w.sum(axis=1)
         with _st("pnp"):
-            r_new, t_new, rms = solve_pnp(
-                pts_in,
-                uv_in,
-                valid_in,
+            mask_in = np.zeros((win, lm_bucket), bool)
+            mask_in[:w_act] = np.pad(mask_w, ((0, 0), (0, lm_pad)))
+            rs, ts = _track_window(
+                jnp.asarray(
+                    np.pad(
+                        np.nan_to_num(points, nan=1.0),
+                        ((0, lm_pad), (0, 0)),
+                        constant_values=1.0,
+                    ),
+                    jnp.float32,
+                ),
+                jnp.asarray(pix_pad[base:base + win]
+                            if end == base + win
+                            else np.pad(pix_pad[base:end],
+                                        ((0, win - w_act), (0, 0), (0, 0))),
+                            jnp.float32),
+                jnp.asarray(mask_in),
                 k_jnp,
-                r0,
-                t0,
+                jnp.asarray(est_r[base - 1]),
+                jnp.asarray(est_t[base - 1]),
                 iterations=cfg.pnp_iterations,
                 huber_delta=cfg.huber_px,
             )
-            est_r[f], est_t[f] = jax.device_get((r_new, t_new))  # one fetch
+            r_h, t_h = jax.device_get((rs, ts))
+            est_r[base:end] = r_h[:w_act]
+            est_t[base:end] = t_h[:w_act]
         if profile is not None:
             profile.count()
 
-        # Record observations of mapped landmarks.
+        # --- record observations of mapped landmarks (vectorized) ------
         with _st("obs_record"):
-            for i in ids_map:
-                obs_cam.append(f)
-                obs_lm.append(int(i))
-                obs_uv.append(pixels[f, i])
+            for i_f, f in enumerate(range(base, end)):
+                if counts[i_f] < 6:
+                    continue  # lost frame: pose held by the scan, no obs
+                ids = np.where(mask_w[i_f])[0]
+                obs_cam.append(np.full(len(ids), f, np.int64))
+                obs_lm.append(ids.astype(np.int64))
+                obs_uv.append(pixels[f, ids])
 
-        # Triangulate landmarks now visible twice but not yet in the map.
-        # ONE vmapped midpoint solve over all candidates with per-point
-        # first-seen poses (the round-2 loop dispatched one triangulation
-        # per unique first-seen frame — with window re-association that
-        # was O(10-30) device round-trips per frame at ~30 ms each,
-        # measured as the backend's dominant cost: 4.4 s/frame).
-        cand = np.where(visible[f] & ~lm_valid & (first_seen_kf >= 0))[0]
+        # --- first-seen bookkeeping, in frame order --------------------
+        for i_f, f in enumerate(range(base, end)):
+            newly = vis_w[i_f] & (first_seen_kf < 0)
+            first_seen_kf[newly] = f
+
+        # --- ONE batched triangulation for the whole window ------------
+        # Candidate = landmark not yet in the map, first seen at f0,
+        # visible again at some window frame > f0; pair (f0, last
+        # visible window frame) maximizes baseline.
+        any_vis = vis_w.any(axis=0)
+        last_in_win = base + (w_act - 1) - np.argmax(vis_w[::-1], axis=0)
+        cand = np.where(
+            ~lm_valid
+            & (first_seen_kf >= 0)
+            & any_vis
+            & (last_in_win > first_seen_kf)
+        )[0]
         if len(cand) > 0:
             f0s = first_seen_kf[cand]
+            f1s = last_in_win[cand]
             n = len(cand)
             cap = 1 << max(5, (n - 1).bit_length())
             pad = cap - n
-            r_a = np.concatenate(
-                [est_r[f0s], np.broadcast_to(np.eye(3), (pad, 3, 3))]
-            )
+            eye_pad = np.broadcast_to(np.eye(3), (pad, 3, 3))
+            r_a = np.concatenate([est_r[f0s], eye_pad])
             t_a = np.pad(est_t[f0s], ((0, pad), (0, 0)))
+            r_b = np.concatenate([est_r[f1s], eye_pad])
+            t_b = np.pad(est_t[f1s], ((0, pad), (0, 0)))
             uv_a = np.pad(pixels[f0s, cand], ((0, pad), (0, 0)))
-            uv_b = np.pad(pixels[f, cand], ((0, pad), (0, 0)))
+            uv_b = np.pad(pixels[f1s, cand], ((0, pad), (0, 0)))
             with _st("triangulate"):
                 tri, depths = _triangulate_candidates(
                     jnp.asarray(r_a),
                     jnp.asarray(t_a),
-                    jnp.asarray(est_r[f]),
-                    jnp.asarray(est_t[f]),
+                    jnp.asarray(r_b),
+                    jnp.asarray(t_b),
                     jnp.asarray(uv_a),
                     jnp.asarray(uv_b),
                     k_jnp,
@@ -388,10 +445,8 @@ def run_slam(
             p = p[:n]
             depths = depths[:n]
             # Parallax gate: rays must subtend enough angle.
-            c_a = -np.einsum(
-                "nji,nj->ni", est_r[f0s], est_t[f0s]
-            )  # per-point centers -Rᵀt
-            c_b = -est_r[f].T @ est_t[f]
+            c_a = -np.einsum("nji,nj->ni", est_r[f0s], est_t[f0s])
+            c_b = -np.einsum("nji,nj->ni", est_r[f1s], est_t[f1s])
             d_a = p - c_a
             d_b = p - c_b
             cosang = np.sum(d_a * d_b, axis=-1) / np.maximum(
@@ -404,20 +459,19 @@ def run_slam(
             points[add] = p[good]
             lm_valid[add] = True
             add_f0 = f0s[good]
-            for i, f0 in zip(add, add_f0):
-                obs_cam.append(int(f0))
-                obs_lm.append(int(i))
-                obs_uv.append(pixels[int(f0), i])
-                obs_cam.append(f)
-                obs_lm.append(int(i))
-                obs_uv.append(pixels[f, i])
+            add_f1 = f1s[good]
+            obs_cam.append(add_f0.astype(np.int64))
+            obs_lm.append(add.astype(np.int64))
+            obs_uv.append(pixels[add_f0, add])
+            obs_cam.append(add_f1.astype(np.int64))
+            obs_lm.append(add.astype(np.int64))
+            obs_uv.append(pixels[add_f1, add])
 
-        newly = visible[f] & (first_seen_kf < 0)
-        first_seen_kf[newly] = f
-
-        # Windowed BA.
-        if f % cfg.ba_interval == 0 and len(obs_cam) > 30:
+        # --- windowed BA (once per window) -----------------------------
+        n_obs = sum(len(a) for a in obs_cam)
+        if n_obs > 30:
             with _st("ba_windowed"):
+                f = end - 1
                 fixed = max(1, f + 1 - cfg.ba_window)
                 state = BAState(
                     rotations=jnp.asarray(est_r[: f + 1]),
@@ -426,10 +480,10 @@ def run_slam(
                     k_mat=k_jnp,
                 )
                 obs = _pad_obs(
-                    np.asarray(obs_cam),
-                    np.asarray(obs_lm),
-                    np.asarray(obs_uv),
-                    np.ones(len(obs_cam), bool),
+                    np.concatenate(obs_cam),
+                    np.concatenate(obs_lm),
+                    np.concatenate(obs_uv),
+                    np.ones(n_obs, bool),
                 )
                 refined, _ = _ba(state, obs, cfg.ba_iterations, fixed)
                 r_h, t_h, upd = jax.device_get(
@@ -442,18 +496,19 @@ def run_slam(
                 profile.count()
 
         if checkpoint_dir is not None and (
-            f % checkpoint_interval == 0 or f == num_frames - 1
+            (end - 1) // checkpoint_interval > (base - 1) // checkpoint_interval
+            or end == num_frames
         ):
-            _save_ckpt(f)
-        if _stop_after is not None and f >= _stop_after:
-            # Fault injection: persist and abort mid-sequence.
-            _save_ckpt(f)
+            _save_ckpt(end - 1)
+        if _stop_after is not None and end - 1 >= _stop_after:
+            # Fault injection: persist and abort at the window boundary.
+            _save_ckpt(end - 1)
             return SlamResult(
                 rotations=est_r,
                 translations=est_t,
                 points=points,
                 landmark_valid=lm_valid,
-                num_observations=len(obs_cam),
+                num_observations=sum(len(a) for a in obs_cam),
             )
 
     # ---- optional pose-graph optimization -----------------------------
@@ -514,10 +569,12 @@ def run_slam(
         est_t = np.asarray(opt_t)
 
     # ---- final global BA with outlier pruning -------------------------
-    if len(obs_cam) > 30:
+    oc, ol, ouv = _obs_arrays()
+    n_obs_total = len(oc)
+    if n_obs_total > 30:
         from ..sfm.ba import reprojection_residuals
 
-        obs_valid = np.ones(len(obs_cam), bool)
+        obs_valid = np.ones(n_obs_total, bool)
         for _round in _prof_iter(range(2), _st, "ba_final"):
             state = BAState(
                 rotations=jnp.asarray(est_r),
@@ -525,12 +582,7 @@ def run_slam(
                 points=jnp.asarray(np.nan_to_num(points, nan=1.0)),
                 k_mat=k_jnp,
             )
-            obs = _pad_obs(
-                np.asarray(obs_cam),
-                np.asarray(obs_lm),
-                np.asarray(obs_uv),
-                obs_valid,
-            )
+            obs = _pad_obs(oc, ol, ouv, obs_valid)
             refined, _ = _ba(state, obs, cfg.final_ba_iterations, 1)
             est_r = np.asarray(refined.rotations)
             est_t = np.asarray(refined.translations)
@@ -540,7 +592,7 @@ def run_slam(
             # Huber only downweights gross outliers, it cannot zero
             # them, and a few outlier tracks measurably inflate ATE.
             res = np.asarray(reprojection_residuals(refined, obs))
-            err = np.linalg.norm(res[: len(obs_cam)], axis=-1)
+            err = np.linalg.norm(res[:n_obs_total], axis=-1)
             obs_valid = obs_valid & (err < 3.0 * cfg.huber_px)
 
     return SlamResult(
@@ -548,18 +600,57 @@ def run_slam(
         translations=est_t,
         points=points,
         landmark_valid=lm_valid,
-        num_observations=len(obs_cam),
+        num_observations=n_obs_total,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "huber_delta"))
+def _track_window(points, pix_w, mask_w, k_mat, r0, t0, iterations, huber_delta):
+    """Localize a WINDOW of frames in ONE dispatch (frozen map).
+
+    ``points``: (L, 3) map landmarks (invalid slots hold any finite
+    filler — masked); ``pix_w``: (W, L, 2) per-frame pixel
+    measurements; ``mask_w``: (W, L) per-frame association masks
+    (visible AND in-map at window start). A ``lax.scan`` chains the
+    PnP solves so each frame initializes from the previous frame's
+    pose (the motion-model init of the per-frame loop), but the host
+    pays ONE round-trip for the whole window instead of one per frame
+    (~28 ms each through the tunneled backend — round-4 breakdown).
+    Frames with <6 associations hold the previous pose (the per-frame
+    loop's lost-tracking fallback).
+    """
+
+    def step(carry, inp):
+        r_prev, t_prev = carry
+        uv, m = inp
+        r_new, t_new, _ = solve_pnp(
+            points,
+            uv,
+            m,
+            k_mat,
+            r_prev,
+            t_prev,
+            iterations=iterations,
+            huber_delta=huber_delta,
+        )
+        ok = jnp.sum(m) >= 6
+        r_new = jnp.where(ok, r_new, r_prev)
+        t_new = jnp.where(ok, t_new, t_prev)
+        return (r_new, t_new), (r_new, t_new)
+
+    (_, _), (rs, ts) = jax.lax.scan(step, (r0, t0), (pix_w, mask_w))
+    return rs, ts
 
 
 @jax.jit
 def _triangulate_candidates(r_a, t_a, r_b, t_b, uv_a, uv_b, k_mat):
-    """Midpoint-triangulate N candidates with PER-POINT first poses.
+    """Midpoint-triangulate N candidates with PER-POINT pose pairs.
 
     ``r_a/t_a``: (N,3,3)/(N,3) pose of each candidate's first-seen
-    frame; ``r_b/t_b``: the current frame's single pose (broadcast).
-    Returns ``(points (N,3), depths (N,2))``. Rays are shaped (N,1,3)
-    so :func:`geometry.triangulate_midpoint`'s batch dims broadcast.
+    frame; ``r_b/t_b``: (N,3,3)/(N,3) pose of each candidate's
+    last-seen window frame. Returns ``(points (N,3), depths (N,2))``.
+    Rays are shaped (N,1,3) so :func:`geometry.triangulate_midpoint`'s
+    batch dims broadcast.
     """
     rays_a = geo.backproject(uv_a, k_mat)[:, None, :]
     rays_b = geo.backproject(uv_b, k_mat)[:, None, :]
