@@ -99,9 +99,8 @@ def main() -> None:
     ap.add_argument(
         "--blur",
         default="fused",
-        choices=["fused", "fused_bf16", "separable", "matmul"],
-        help="fused_bf16 stores DoG planes as bfloat16 (same candidate "
-        "set, ~40%% less write traffic; see ops/pallas/octave.py)",
+        choices=["fused", "separable", "matmul"],
+        help="pyramid strategy (fused = production TPU kernel path)",
     )
     ap.add_argument(
         "--stages",
@@ -216,7 +215,6 @@ def main() -> None:
 
         _, dogs, masks = build_pyramid_fused(
             imgs, cfg, emit_scales=False, emit_masks=True,
-            dog_dtype=_jnp.bfloat16 if args.blur == "fused_bf16" else None,
             flat_detect=True,
         )
         return sum(jnp.sum(d[..., ::64, ::64]) for d in dogs) + sum(
@@ -306,7 +304,6 @@ def main() -> None:
 
     ideal_bytes = detect_traffic_bytes(
         batch, h, w, cfg,
-        dog_bytes=2 if args.blur == "fused_bf16" else 4,
     )
     ideal_s = ideal_bytes / (V5E_HBM_GBPS * 1e9)
     achieved_gbps = ideal_bytes / pyr_s / 1e9

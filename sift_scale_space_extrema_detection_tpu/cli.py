@@ -35,10 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--blur",
         default="separable",
-        choices=["exact", "separable", "matmul", "pallas", "fused",
-                 "fused_bf16"],
-        help="fused/fused_bf16 are the production TPU whole-octave "
-        "kernel paths (XLA fallback off-TPU)",
+        choices=["exact", "separable", "matmul", "pallas", "fused"],
+        help="fused is the production TPU whole-octave kernel path "
+        "(XLA fallback off-TPU)",
     )
     p.add_argument(
         "--float64",
@@ -110,13 +109,12 @@ def main(argv=None) -> int:
     image = jnp.asarray(gray)
 
     t0 = time.perf_counter()
-    if args.blur in ("fused", "fused_bf16"):
+    if args.blur == "fused":
         scale_space, dog, masks = frontend.build_pyramid_fused(
             image,
             cfg,
             emit_scales=True,
             emit_masks=True,
-            dog_dtype=jnp.bfloat16 if args.blur == "fused_bf16" else None,
         )
     else:
         scale_space = frontend.build_scale_space(image, cfg, args.blur)
@@ -244,8 +242,8 @@ def main(argv=None) -> int:
         for o, d in enumerate(dog):
             vis.save_png(
                 os.path.join(args.outdir, f"dog_octave{o}.png"),
-                # float32 first: bf16-stored DoG (fused_bf16) reaches
-                # numpy as an ml_dtypes array the display math chokes on.
+                # float32 first: guards any non-f32 DoG storage from
+                # reaching the numpy display math as an ml_dtypes array.
                 vis.gallery_image(
                     np.asarray(d.astype(jnp.float32)), normalize="sigmoid"
                 ),

@@ -248,18 +248,18 @@ def _dog_pyramid(
 ) -> tuple[list[jax.Array], list[jax.Array | None]]:
     """Per-octave (DoG stacks, extrema masks); ``blur="fused"`` takes
     the whole-octave Pallas kernel path (Gaussian stacks never written
-    to HBM, extrema masks computed in-VMEM); ``"fused_bf16"``
-    additionally stores the DoG planes as bfloat16 (same candidate set
-    — the in-VMEM scan is full precision — slightly quantized
-    refinement inputs, ~40% less HBM write traffic on the write-bound
-    detect path)."""
-    if blur in ("fused", "fused_bf16"):
+    to HBM, extrema masks computed in-VMEM). A bf16 DoG-storage mode
+    ("fused_bf16") existed through round 3 and was DELETED: measured
+    280 vs 266 fps but 97.87 % slot agreement (bar >=98 %) and p99
+    position delta 0.20 px (bar <0.1) — it failed its own quality gate
+    for ~5 % fps. The kernel keeps ``dog_dtype`` as an internal
+    parameter."""
+    if blur == "fused":
         _, dog, masks = build_pyramid_fused(
             images,
             cfg,
             emit_scales=False,
             emit_masks=True,
-            dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
             flat_detect=True,
         )
         return dog, masks
@@ -306,10 +306,9 @@ def detect_and_describe(
     up to ``max_orientations_per_keypoint`` orientations and 128-D
     descriptors from the octave's Gaussian stack.
     """
-    if blur in ("fused", "fused_bf16"):
+    if blur == "fused":
         scale_space, dog, masks = build_pyramid_fused(
             image, cfg, emit_scales=True, emit_masks=True,
-            dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
         )
     else:
         scale_space = build_scale_space(image, cfg, blur)
@@ -345,10 +344,9 @@ def detect_and_describe_batched(
     The pyramid build is natively batched; per-image stages vmap over the
     leading axis.
     """
-    if blur in ("fused", "fused_bf16"):
+    if blur == "fused":
         scale_space, dog, masks = build_pyramid_fused(
             images, cfg, emit_scales=True, emit_masks=True,
-            dog_dtype=jnp.bfloat16 if blur == "fused_bf16" else None,
         )
     else:
         scale_space = build_scale_space(images, cfg, blur)
