@@ -84,6 +84,34 @@ def main() -> None:
         "JAX_PLATFORMS=cpu, so an env var alone cannot)",
     )
     ap.add_argument(
+        "--match-gate",
+        type=float,
+        default=None,
+        metavar="PX",
+        help="motion-prior match gate in pixels (drops long-range "
+        "aliased matches; see build_tracks_from_images)",
+    )
+    ap.add_argument(
+        "--chunk",
+        type=int,
+        default=16,
+        help="frontend batch chunk (one compiled shape; bigger chunks "
+        "amortize dispatch latency, cost HBM)",
+    )
+    ap.add_argument(
+        "--ba-interval",
+        type=int,
+        default=5,
+        help="tracking window = BA cadence in frames (longer windows "
+        "amortize the ~30 ms dispatch latency over more frames)",
+    )
+    ap.add_argument(
+        "--upright",
+        action="store_true",
+        help="upright descriptors (skip orientation assignment; "
+        "inter-frame rotation on video is << bin width)",
+    )
+    ap.add_argument(
         "--breakdown",
         action="store_true",
         help="per-stage wall-clock attribution (syncs at stage "
@@ -111,12 +139,21 @@ def main() -> None:
     images, gt_r, gt_t, k_mat = render_sequence(rng, args.frames, w, h)
     t_render = time.perf_counter() - t_render
 
-    kw_cfg = dict(num_octaves=3, max_keypoints_per_trio=256)
+    kw_cfg = dict(
+        num_octaves=3, max_keypoints_per_trio=256, upright=args.upright
+    )
     sift_cfg = (
         SiftConfig.quality(**kw_cfg) if args.quality else SiftConfig(**kw_cfg)
     )
-    slam_cfg = SlamConfig(ba_interval=5, ba_window=8)
-    kw = dict(blur=args.blur, reassoc_window=args.reassoc)
+    slam_cfg = SlamConfig(
+        ba_interval=args.ba_interval, ba_window=max(8, args.ba_interval)
+    )
+    kw = dict(
+        blur=args.blur,
+        reassoc_window=args.reassoc,
+        max_match_px=args.match_gate,
+        frontend_chunk=args.chunk,
+    )
 
     # Warm-up pass over the FULL sequence: the pipeline's jit shapes
     # depend on frame count / match caps / BA buckets, so a short-prefix

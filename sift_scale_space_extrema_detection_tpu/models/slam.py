@@ -744,6 +744,7 @@ def build_tracks_from_images(
     reassoc_window: int = 0,
     frontend_chunk: int = 16,
     profile=None,
+    max_match_px: float | None = None,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -756,6 +757,14 @@ def build_tracks_from_images(
     poison the map), and chains the surviving matches into tracks.
     Returns ``(pixels (F, L, 2), visible (F, L))`` ready for
     :func:`run_slam`, plus per-frame keypoint counts for diagnostics.
+
+    ``max_match_px`` > 0 enables motion-prior gating: a consecutive-pair
+    match is dropped when the keypoints are further apart than this many
+    pixels (video frames move a few pixels; repetitive/noisy texture
+    produces long-range aliased matches that survive the ratio test and
+    poison tracks — measured on the 40-frame bench: see BASELINE.md
+    round-4 SLAM paragraph). Window re-association matches get the gate
+    scaled by the frame gap.
 
     ``reassoc_window`` > 0 additionally matches each frame against that
     many older keyframes to re-acquire tracks lost in the immediate
@@ -844,6 +853,13 @@ def build_tracks_from_images(
         cons_idx, cons_val = _match_consecutive(d_all, v_all, match_ratio)
         cons_idx = np.asarray(cons_idx)
         cons_val = np.asarray(cons_val)
+        if max_match_px is not None:
+            # Motion-prior gate: drop matches whose displacement exceeds
+            # the per-pair budget (aliased matches on repetitive texture).
+            j = np.clip(cons_idx, 0, xs.shape[1] - 1)
+            dx = np.take_along_axis(xs[1:], j, axis=1) - xs[:-1]
+            dy = np.take_along_axis(ys[1:], j, axis=1) - ys[:-1]
+            cons_val = cons_val & (dx * dx + dy * dy <= max_match_px**2)
         pair_is = [np.where(cons_val[p])[0] for p in range(num_frames - 1)]
         pair_js = [cons_idx[p, pi] for p, pi in enumerate(pair_is)]
     if profile is not None:
@@ -966,6 +982,12 @@ def build_tracks_from_images(
                     src = np.where(w_val[wk])[0]  # frame-f slots
                     dst = w_idx[wk, src]  # matched keyframe slots
                     ok = (track_of[f, src] < 0) & (track_of[kf, dst] >= 0)
+                    if max_match_px is not None:
+                        gate = max_match_px * (f - kf)
+                        dxy = (xs[f, src] - xs[kf, dst]) ** 2 + (
+                            ys[f, src] - ys[kf, dst]
+                        ) ** 2
+                        ok &= dxy <= gate * gate
                     track_of[f, src[ok]] = track_of[kf, dst[ok]]
         # Unmatched valid keypoints open new tracks up to capacity.
         js = np.where(valid[f] & (track_of[f] < 0))[0]
@@ -995,6 +1017,7 @@ def run_slam_from_images(
     blur: str = "separable",
     frontend_chunk: int = 16,
     profile=None,
+    max_match_px: float | None = None,
     **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
@@ -1010,6 +1033,7 @@ def run_slam_from_images(
         images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio,
         mesh=mesh, reassoc_window=reassoc_window, blur=blur,
         frontend_chunk=frontend_chunk, profile=profile,
+        max_match_px=max_match_px,
     )
     return run_slam(
         pixels, visible, k_mat, slam_cfg, mesh=mesh, profile=profile,

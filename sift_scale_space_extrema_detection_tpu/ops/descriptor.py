@@ -422,7 +422,14 @@ def describe_compact(
     from .extrema import first_k_set_indices
     from .sampling import bilinear_sample_pair_flat, pack_gradients_flat
 
-    flat, base_lut, h_lut, w_lut = pack_gradients_flat(stacks)
+    # Keypoints can only hold scale_level ∈ [1, spo] (the Newton step
+    # clamps s to [1, n_dog-2], ops/refine.py), so only those planes'
+    # gradients are ever sampled — pack spo planes per octave instead
+    # of spo+3 (the sampler shifts the scale index by the slice start).
+    s_lo, s_hi = 1, cfg.scales_per_octave + 1
+    flat, base_lut, h_lut, w_lut = pack_gradients_flat(
+        [st[s_lo:s_hi] for st in stacks]
+    )
     dtype = flat.dtype
     n_ori = cfg.max_orientations_per_keypoint
 
@@ -458,8 +465,17 @@ def describe_compact(
 
         def sample_fn(ys, xs):
             # Same coordinate handling as _keypoint_gradient_samples:
-            # clamp y to the plane, offset by scale_level·H.
-            ys_flat = jnp.clip(ys, 0.0, hf - 1.0) + s_.astype(dtype) * hf
+            # clamp y to the plane, offset by scale_level·H, THEN shift
+            # by the slice start (the flat buffer holds planes
+            # [s_lo, s_hi) only). The add-then-subtract order replicates
+            # the unsliced path's f32 rounding bit-for-bit (computing
+            # (s−s_lo)·H directly yields a different fractional part at
+            # the last bit, which moved orientations by ~1e-6 rad);
+            # subtracting the integer s_lo·H from the rounded sum is
+            # exact at these magnitudes.
+            ys_flat = (
+                jnp.clip(ys, 0.0, hf - 1.0) + s_.astype(dtype) * hf
+            ) - (s_lo * 1.0) * hf
             return bilinear_sample_pair_flat(flat, b, w_, ys_flat, xs)
 
         return sample_fn

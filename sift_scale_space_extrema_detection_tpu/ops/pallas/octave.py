@@ -112,11 +112,17 @@ def _plan(
         hp = _align(tile_h + 2 * rh, 8)
         stripe_bytes = 4 * hp * wp
         out_bytes = 4 * n_out_planes * tile_h * w
-        halo_bytes = 4 * n_halo_planes * (tile_h + 2) * _align(w + 2, 128)
-        # min/max row temporaries (2 per halo plane) + mask scratch.
+        # The scan runs on a SLIDING 3-plane window folded into the
+        # blur loop (round 4) — only 3 DoG halo planes (+ their min/max
+        # temporaries) are ever live, independent of S, which is what
+        # admits taller stripes for mask-emitting octaves.
+        eff_halo = min(n_halo_planes, 3)
+        halo_bytes = 4 * eff_halo * (tile_h + 2) * _align(w + 2, 128)
+        # Row min/max (2 per live plane, tile_h+2 rows) + col min/max
+        # (2 per live plane) + packed/interior/ring scratch.
         mask_bytes = (
-            4 * 2 * n_halo_planes * (tile_h + 2) * _align(w, 128)
-            + 6 * 4 * tile_h * _align(w, 128)
+            4 * 2 * eff_halo * (tile_h + 2) * _align(w, 128)
+            + 12 * 4 * tile_h * _align(w, 128)
             if n_halo_planes
             else 0
         )
@@ -256,6 +262,58 @@ def _octave_kernel(
     th2 = tile_h + 2 * hx
     w2 = w + 2 * hx
 
+    # --- sliding-window in-VMEM extrema scan helpers -------------------
+    # The scan needs DoG planes (s-1, s, s+1) per trio; processing each
+    # trio AS SOON as its third plane exists keeps only a 3-plane window
+    # (+ its row min/max temporaries) live in VMEM instead of all S-1
+    # halo planes — the smaller live set is what lets _plan pick taller
+    # stripes (fewer grid steps at ~7 µs fixed overhead each). Math and
+    # emitted bits are identical to the round-3 scan-at-the-end form.
+    y_glob_i = pl.program_id(1)
+
+    def plane_minmax(d):
+        a = d[:, 0:w]
+        bb_ = d[:, 1 : 1 + w]
+        c = d[:, 2 : 2 + w]
+        rmin = jnp.minimum(jnp.minimum(a, bb_), c)
+        rmax = jnp.maximum(jnp.maximum(a, bb_), c)
+        cmin = jnp.minimum(
+            jnp.minimum(rmin[0:tile_h], rmin[1 : 1 + tile_h]),
+            rmin[2 : 2 + tile_h],
+        )
+        cmax = jnp.maximum(
+            jnp.maximum(rmax[0:tile_h], rmax[1 : 1 + tile_h]),
+            rmax[2 : 2 + tile_h],
+        )
+        return d, rmin, rmax, cmin, cmax
+
+    def trio_code(win, interior):
+        (_, _, _, cmin_lo, cmax_lo), (d, rmin, rmax, _, _), (
+            _,
+            _,
+            _,
+            cmin_hi,
+            cmax_hi,
+        ) = win
+        center = d[1 : 1 + tile_h, 1 : 1 + w]
+        mid_min = jnp.minimum(d[1 : 1 + tile_h, 0:w], d[1 : 1 + tile_h, 2 : 2 + w])
+        mid_max = jnp.maximum(d[1 : 1 + tile_h, 0:w], d[1 : 1 + tile_h, 2 : 2 + w])
+        ring_min = jnp.minimum(
+            jnp.minimum(rmin[0:tile_h], rmin[2 : 2 + tile_h]), mid_min
+        )
+        ring_max = jnp.maximum(
+            jnp.maximum(rmax[0:tile_h], rmax[2 : 2 + tile_h]), mid_max
+        )
+        nb_min = jnp.minimum(jnp.minimum(cmin_lo, cmin_hi), ring_min)
+        nb_max = jnp.maximum(jnp.maximum(cmax_lo, cmax_hi), ring_max)
+        is_ext = (center > nb_max) | (center < nb_min)
+        passes = jnp.abs(center) >= contrast_thr
+        return jnp.where(
+            is_ext & interior,
+            jnp.where(passes, jnp.int32(1), jnp.int32(2)),
+            jnp.int32(0),
+        )
+
     if upsample2x:
         # NN 2x upsample of the half-res window, then align: the
         # upsampled window starts 2*ceil(rh/2) - rh ∈ {0, 1} rows/cols
@@ -289,7 +347,21 @@ def _octave_kernel(
     else:
         stripe = stripe_scratch[slot]  # (hp, wp)
     prev = None
-    dogs = []
+    win = []  # sliding (plane, rmin, rmax, cmin, cmax) window, len <= 3
+    packed = None
+    interior = None
+    if emit_masks:
+        y_glob = y_glob_i * tile_h + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, w), 0
+        )
+        x_glob = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
+        interior = (
+            (y_glob >= 1)
+            & (y_glob <= h - 2)
+            & (x_glob >= 1)
+            & (x_glob <= w - 2)
+        )
+        packed = jnp.zeros((tile_h, w), jnp.int32)
     for s, taps in enumerate(taps_per_scale):
         if taps is None:
             # Unblurred base: crop the stripe to the (haloed) window.
@@ -335,78 +407,20 @@ def _octave_kernel(
             else:
                 dog_ref[0, s - 1] = d_store
             if emit_masks:
-                dogs.append(d)
+                # Per-plane separable 3-column row min/max + full 3x3
+                # (shared by the two trios touching the plane — same
+                # decomposition as ops/extrema.py), then emit trio
+                # s-2's 2-bit code once its upper plane exists.
+                win.append(plane_minmax(d))
+                if len(win) == 3:
+                    code = trio_code(win, interior)
+                    packed = packed | (code << (2 * (s - 3)))
+                    win.pop(0)  # plane s-3 is dead: free its VMEM
         prev = cur
 
     if not emit_masks:
         return
 
-    # --- in-VMEM 26-neighbor strict extrema scan -----------------------
-    # Per-plane separable 3-column row min/max, shared by every trio
-    # that touches the plane (same decomposition as ops/extrema.py).
-    rmins, rmaxs = [], []
-    for d in dogs:
-        a = d[:, 0:w]
-        b = d[:, 1 : 1 + w]
-        c = d[:, 2 : 2 + w]
-        rmins.append(jnp.minimum(jnp.minimum(a, b), c))
-        rmaxs.append(jnp.maximum(jnp.maximum(a, b), c))
-
-    def col3(rm, lo):
-        return lo(lo(rm[0:tile_h], rm[1 : 1 + tile_h]), rm[2 : 2 + tile_h])
-
-    # Each plane's full 3x3 min/max serves trio s-1 (as upper
-    # neighbor) and trio s+1 (as lower): cache them once per plane
-    # instead of recomputing inside every trio (4 col3 calls/trio -> 2
-    # per plane; ~12 fewer VPU ops/px on a scan measured at ~14 ms).
-    cmins = [col3(rm, jnp.minimum) for rm in rmins]
-    cmaxs = [col3(rm, jnp.maximum) for rm in rmaxs]
-
-    # Zero the image border in-kernel (the scan covers interior
-    # pixels only, reference/src/sift.js:221-222) so consumers can
-    # select over the FULL aligned plane — the XLA-side interior
-    # slice was a misaligned 2 GB copy per batch.
-    y_glob = (
-        pl.program_id(1) * tile_h
-        + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
-    )
-    x_glob = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
-    interior = (
-        (y_glob >= 1) & (y_glob <= h - 2) & (x_glob >= 1) & (x_glob <= w - 2)
-    )
-    packed = jnp.zeros((tile_h, w), jnp.int32)
-    for t, s in enumerate(range(1, len(dogs) - 1)):
-        center = dogs[s][1 : 1 + tile_h, 1 : 1 + w]
-        # Ring (8-neighbor) min/max of the center plane: top/bottom rows
-        # from the separable row min/max, the middle row from the two
-        # lateral neighbors only (center excluded — strictness).
-        mid_min = jnp.minimum(
-            dogs[s][1 : 1 + tile_h, 0:w], dogs[s][1 : 1 + tile_h, 2 : 2 + w]
-        )
-        mid_max = jnp.maximum(
-            dogs[s][1 : 1 + tile_h, 0:w], dogs[s][1 : 1 + tile_h, 2 : 2 + w]
-        )
-        ring_min = jnp.minimum(
-            jnp.minimum(rmins[s][0:tile_h], rmins[s][2 : 2 + tile_h]), mid_min
-        )
-        ring_max = jnp.maximum(
-            jnp.maximum(rmaxs[s][0:tile_h], rmaxs[s][2 : 2 + tile_h]), mid_max
-        )
-        nb_min = jnp.minimum(
-            jnp.minimum(cmins[s - 1], cmins[s + 1]), ring_min
-        )
-        nb_max = jnp.maximum(
-            jnp.maximum(cmaxs[s - 1], cmaxs[s + 1]), ring_max
-        )
-        is_ext = (center > nb_max) | (center < nb_min)
-        passes = jnp.abs(center) >= contrast_thr
-        # Trio t's 2-bit code, packed into one int32 plane.
-        code = jnp.where(
-            is_ext & interior,
-            jnp.where(passes, jnp.int32(1), jnp.int32(2)),
-            jnp.int32(0),
-        )
-        packed = packed | (code << (2 * t))
     # Stored at the narrowest dtype that holds 2 bits/trio (int16 for
     # <=8 trios): the mask plane is pure write traffic on a stage whose
     # effective HBM rate fluctuates with tenancy — bytes are the only
