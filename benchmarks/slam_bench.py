@@ -92,6 +92,32 @@ def main() -> None:
         "aliased matches; see build_tracks_from_images)",
     )
     ap.add_argument(
+        "--describe-compaction",
+        type=float,
+        default=0.5,
+        help="describe-slot compaction fraction (bench sequence "
+        "occupancy measured ~55%% of the 0.5 capacity)",
+    )
+    ap.add_argument(
+        "--ba-iters",
+        type=int,
+        default=6,
+        help="LM iterations per windowed BA",
+    )
+    ap.add_argument(
+        "--final-rounds",
+        type=int,
+        default=2,
+        help="final global BA + outlier-prune rounds",
+    )
+    ap.add_argument(
+        "--desc-grid",
+        type=int,
+        default=16,
+        help="descriptor G x G sample grid (12 = ~1.8x cheaper "
+        "describe; ATE-gated)",
+    )
+    ap.add_argument(
         "--chunk",
         type=int,
         default=16,
@@ -140,13 +166,21 @@ def main() -> None:
     t_render = time.perf_counter() - t_render
 
     kw_cfg = dict(
-        num_octaves=3, max_keypoints_per_trio=256, upright=args.upright
+        num_octaves=3,
+        max_keypoints_per_trio=256,
+        upright=args.upright,
+        describe_compaction=args.describe_compaction,
+        descriptor_grid_size=args.desc_grid,
+        orientation_grid_size=args.desc_grid,
     )
     sift_cfg = (
         SiftConfig.quality(**kw_cfg) if args.quality else SiftConfig(**kw_cfg)
     )
     slam_cfg = SlamConfig(
-        ba_interval=args.ba_interval, ba_window=max(8, args.ba_interval)
+        ba_interval=args.ba_interval,
+        ba_window=max(8, args.ba_interval),
+        ba_iterations=args.ba_iters,
+        final_ba_rounds=args.final_rounds,
     )
     kw = dict(
         blur=args.blur,

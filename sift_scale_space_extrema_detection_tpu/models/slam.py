@@ -45,6 +45,7 @@ class SlamConfig:
     ba_window: int = 8  # trailing keyframes optimized in windowed BA
     ba_iterations: int = 6
     final_ba_iterations: int = 15
+    final_ba_rounds: int = 2  # BA+prune rounds (2nd re-solves after prune)
     huber_px: float = 2.0
     pnp_iterations: int = 10
     ransac_hypotheses: int = 256
@@ -575,7 +576,7 @@ def run_slam(
         from ..sfm.ba import reprojection_residuals
 
         obs_valid = np.ones(n_obs_total, bool)
-        for _round in _prof_iter(range(2), _st, "ba_final"):
+        for _round in _prof_iter(range(cfg.final_ba_rounds), _st, "ba_final"):
             state = BAState(
                 rotations=jnp.asarray(est_r),
                 translations=jnp.asarray(est_t),

@@ -320,6 +320,17 @@ def _refine_core(
     # headroom over measured survivor fractions — see config).
     # Padding lanes reuse slot 0 and are marked done, so the write-back
     # stores unchanged values for them.
+    # State diet (round 4): lanes selected by the compaction are ACTIVE
+    # (done=False), and active lanes provably hold the init values
+    # abs_y = abs_x = abs_sigma = omega = 0 and
+    # reason = REJECT_MAX_ITERATIONS (those fields are only written when
+    # a lane finishes, which also sets done) — so those 5 arrays are
+    # rebuilt as constants instead of gathered. Conversely ``value`` and
+    # the 6 geometry arrays never change inside ``step``, so they skip
+    # the write-back scatter. Bit-identical output, ~40% fewer
+    # gather/scatter passes per ladder level.
+    _CONST_ON_ACTIVE = ("abs_y", "abs_x", "abs_sigma", "omega")
+    _STEP_IMMUTABLE = ("value", "h", "w", "off", "tile", "delta", "sigc")
     levels = []  # (parent_state, sel_read, ok) per compaction taken
     cur = state
     for i in range(remaining):
@@ -327,18 +338,31 @@ def _refine_core(
         cap = max(64, int(n_slots * frac))
         if cap < cur["done"].shape[0]:
             sel_read, ok, _ = first_k_set_indices(~cur["done"], cap)
-            sub = {k: v[sel_read] for k, v in cur.items()}
-            sub["done"] = sub["done"] | ~ok
+            sub = {
+                k: cur[k][sel_read]
+                for k in cur
+                if k not in _CONST_ON_ACTIVE and k not in ("done", "reason")
+            }
+            zero_c = jnp.zeros((cap,), cur["abs_y"].dtype)
+            for k in _CONST_ON_ACTIVE:
+                sub[k] = zero_c
+            sub["reason"] = jnp.full((cap,), REJECT_MAX_ITERATIONS, jnp.int32)
+            sub["done"] = ~ok
             levels.append((cur, sel_read, ok))
             cur = sub
         cur = step(cur)
     for parent, sel_read, ok in reversed(levels):
         # Write-back: padding lanes get an out-of-range index and are
         # DROPPED — a clamped/aliased index could race a real lane's
-        # update for the same slot.
+        # update for the same slot. Step-immutable fields keep the
+        # parent's copy (identical values; no scatter).
         sel_write = jnp.where(ok, sel_read, parent["done"].shape[0])
         cur = {
-            k: parent[k].at[sel_write].set(cur[k], mode="drop")
+            k: (
+                parent[k]
+                if k in _STEP_IMMUTABLE
+                else parent[k].at[sel_write].set(cur[k], mode="drop")
+            )
             for k in parent
         }
     return cur
