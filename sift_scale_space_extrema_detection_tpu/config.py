@@ -84,6 +84,33 @@ class SiftConfig:
     # per-octave path runs regardless).
     unified_refine: bool = False
 
+    # Cross-octave refinement POOL (unified path only): before the first
+    # Newton iteration, all octaves' VALID candidates are packed into
+    # ``refine_pool_compaction`` × (total slots). The static per-octave
+    # capacity schedule cannot adapt to content — the round-4 bench
+    # probe measured octave 0 at 100 % slot occupancy while octave 1
+    # sat at 3 % and octave 3 at 0 % — so budgeting only the
+    # cross-octave TOTAL removes the empty-slot gather cost while the
+    # per-octave caps keep bounding each octave (scale diversity under
+    # saturation). Overflow keeps the ladder's semantics (candidates
+    # beyond the pool keep REJECT_MAX_ITERATIONS; observable via the
+    # per-trio counters). 1.0 disables.
+    refine_pool_compaction: float = 0.7
+
+    # Tail-group refinement: octave 0 refines alone; octaves >= 1
+    # refine as one pooled multi-octave pass (their flat-DoG concat is
+    # cheap and their caps are where the empty-slot waste lives).
+    # Round-4 TPU A/Bs, same session, 64-image bench: per-octave 374.0
+    # fps / refinement 92.9 ms; FULL unification (``unified_refine``)
+    # 342.5 fps (octave 0's DoG concat costs more than the pool saves);
+    # tail-group 360.0 fps / refinement 92.6 ms (pool win ~= tail
+    # concat + compaction cost). Neither variant beats the per-octave
+    # path: the ~13 ns/element gather-engine rate dominates and the
+    # pool only removes empty-slot gathers the ladder's level-1
+    # compaction already removes after iteration 1. Default OFF; kept
+    # as a knob for content with much larger high-octave tails.
+    refine_tail_pool: bool = False
+
     # Floor for the per-octave capacity schedule (octave o gets
     # ``max(min_keypoints_per_trio, max_keypoints_per_trio >> o)`` slots:
     # octave o has 4^-o as many pixels, so equal capacity would waste

@@ -236,6 +236,23 @@ def detect_from_dog(
         sels.append(sel)
     if cfg.unified_refine and len({d.dtype for d in dog}) == 1:
         return refine_keypoints_multi(dog, sels, cfg, image_hs), extrema
+    if (
+        cfg.refine_tail_pool
+        and len(dog) > 2
+        and len({d.dtype for d in dog[1:]}) == 1
+    ):
+        # Octave 0 refines alone (76 % of the DoG bytes at the bench
+        # config — concatenating it measured a net loss, round-4 A/B:
+        # 342.5 vs 374.0 fps full-unified vs per-octave); octaves >= 1
+        # refine as ONE pooled pass: their DoG concat is small (~0.75 GB
+        # /64-batch) and their static caps sit mostly empty (occupancy
+        # probe: 3 % / 89 % / 0 %), which is exactly what the
+        # cross-octave pool (cfg.refine_pool_compaction) reclaims.
+        kp0 = refine_keypoints(dog[0], sels[0], 0, cfg, image_h=image_hs[0])
+        kp_tail = refine_keypoints_multi(
+            dog[1:], sels[1:], cfg, image_hs[1:], octave_offset=1
+        )
+        return concat_keypoints([kp0, kp_tail]), extrema
     keypoints = [
         refine_keypoints(d, sel, octave, cfg, image_h=ih)
         for octave, (d, sel, ih) in enumerate(zip(dog, sels, image_hs))

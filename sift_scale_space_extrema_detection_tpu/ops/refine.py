@@ -64,6 +64,7 @@ def _refine_core(
     valid: jax.Array,
     cfg: SiftConfig,
     tile_h=None,
+    pool_cap: int | None = None,
 ):
     """Vectorized Newton refinement over all candidate slots at once.
 
@@ -155,6 +156,17 @@ def _refine_core(
             + nc[:, None]
             + d_n[None, :]
         )
+
+    # NOTE (round-4 negative result): the flat 1-D view of the (rows, W)
+    # T(8,128)-tiled DoG buffer is a PHYSICAL relayout copy on TPU
+    # (measured 7.9 ms for octave 0's 4.4 GB — reshape.86 in the round-4
+    # trace). A 2-D ``[idx // W, idx % W]`` gather on the free (rows, W)
+    # collapse was built to avoid it and measured WORSE end-to-end
+    # (refinement 92.8 → 107.8 ms/64-batch): the two-column start-index
+    # lowering costs ~+40 % per gathered element, more than the saved
+    # relayout. The flat take stays.
+    if dog_flat.ndim == 2:
+        dog_flat = dog_flat.reshape(-1)
 
     def gather_cube(sc, mc, nc, off, ww, tile):
         """(v accessor) for the 19 points around each slot's position."""
@@ -305,7 +317,6 @@ def _refine_core(
         )
         return out
 
-    state = step(state)
     remaining = cfg.max_refine_iterations - 1
     schedule = tuple(cfg.refine_compaction_schedule) or (
         cfg.refine_active_compaction,
@@ -331,25 +342,42 @@ def _refine_core(
     # gather/scatter passes per ladder level.
     _CONST_ON_ACTIVE = ("abs_y", "abs_x", "abs_sigma", "omega")
     _STEP_IMMUTABLE = ("value", "h", "w", "off", "tile", "delta", "sigc")
+
+    def _compact_level(cur, cap, levels):
+        sel_read, ok, _ = first_k_set_indices(~cur["done"], cap)
+        sub = {
+            k: cur[k][sel_read]
+            for k in cur
+            if k not in _CONST_ON_ACTIVE and k not in ("done", "reason")
+        }
+        zero_c = jnp.zeros((cap,), cur["abs_y"].dtype)
+        for k in _CONST_ON_ACTIVE:
+            sub[k] = zero_c
+        sub["reason"] = jnp.full((cap,), REJECT_MAX_ITERATIONS, jnp.int32)
+        sub["done"] = ~ok
+        levels.append((cur, sel_read, ok))
+        return sub
+
     levels = []  # (parent_state, sel_read, ok) per compaction taken
     cur = state
+    # Cross-octave POOL compaction before the FIRST iteration (round 4,
+    # multi-octave path only): the static per-octave capacity schedule
+    # cannot adapt to content (bench batch: octave 0 saturated at 100 %
+    # occupancy while octave 1 sits at 3 % and octave 3 at 0 %), so the
+    # multi path packs all octaves' VALID candidates into
+    # ``pool_cap`` slots before the gather-bound iterations — per-octave
+    # caps still bound each octave (scale diversity under saturation);
+    # only the cross-octave total is budgeted. Candidates beyond the
+    # pool keep the REJECT_MAX_ITERATIONS fate (same overflow semantics
+    # as the ladder caps; observable via the per-trio counters).
+    if pool_cap is not None and pool_cap < n_slots:
+        cur = _compact_level(cur, pool_cap, levels)
+    cur = step(cur)  # iteration 1 (on pooled slots when pool_cap is set)
     for i in range(remaining):
         frac = schedule[min(i, len(schedule) - 1)]
         cap = max(64, int(n_slots * frac))
         if cap < cur["done"].shape[0]:
-            sel_read, ok, _ = first_k_set_indices(~cur["done"], cap)
-            sub = {
-                k: cur[k][sel_read]
-                for k in cur
-                if k not in _CONST_ON_ACTIVE and k not in ("done", "reason")
-            }
-            zero_c = jnp.zeros((cap,), cur["abs_y"].dtype)
-            for k in _CONST_ON_ACTIVE:
-                sub[k] = zero_c
-            sub["reason"] = jnp.full((cap,), REJECT_MAX_ITERATIONS, jnp.int32)
-            sub["done"] = ~ok
-            levels.append((cur, sel_read, ok))
-            cur = sub
+            cur = _compact_level(cur, cap, levels)
         cur = step(cur)
     for parent, sel_read, ok in reversed(levels):
         # Write-back: padding lanes get an out-of-range index and are
@@ -421,7 +449,7 @@ def refine_keypoints(
     d_scales, h, w, tile_h = _dog_dims(dog, image_h)
     delta, sigma_coeff = _octave_geometry(octave, cfg)
     refined = _refine_core(
-        dog.reshape(-1),
+        dog.reshape(-1, dog.shape[-1]),
         d_scales,
         h,
         w,
@@ -444,6 +472,7 @@ def refine_keypoints_multi(
     extrema_list: list[Extrema],
     cfg: SiftConfig,
     image_hs: list[int | None] | None = None,
+    octave_offset: int = 0,
 ) -> Keypoints:
     """ONE refinement pass over every octave's candidates.
 
@@ -468,8 +497,9 @@ def refine_keypoints_multi(
 
     hs, ws, offs, tiles, deltas, sigcs, octs = [], [], [], [], [], [], []
     flat_off = 0
-    for octave, (d, e) in enumerate(zip(dogs, extrema_list)):
-        _, h, w, tile = dims[octave]
+    for oct_i, (d, e) in enumerate(zip(dogs, extrema_list)):
+        octave = oct_i + octave_offset
+        _, h, w, tile = dims[oct_i]
         n = e.y.shape[0]
         delta, sigc = _octave_geometry(octave, cfg)
         hs.append(jnp.full((n,), h, jnp.int32))
@@ -481,6 +511,8 @@ def refine_keypoints_multi(
         octs.append(jnp.full((n,), octave, jnp.int32))
         flat_off += int(np.prod(d.shape))
 
+    total = sum(e.y.shape[0] for e in extrema_list)
+    pool_cap = min(total, max(256, int(total * cfg.refine_pool_compaction)))
     refined = _refine_core(
         dog_cat,
         d_scales,
@@ -498,5 +530,6 @@ def refine_keypoints_multi(
         jnp.concatenate([e.valid for e in extrema_list]),
         cfg,
         tile_h=jnp.concatenate(tiles),
+        pool_cap=pool_cap,
     )
     return _keypoints_from_state(refined, jnp.concatenate(octs))

@@ -313,3 +313,32 @@ def test_unified_refine_matches_per_octave_path():
         np.testing.assert_array_equal(
             np.asarray(getattr(kp_c, f)), np.asarray(getattr(kp_d, f)), f
         )
+
+
+def test_tail_pool_refine_matches_per_octave_path():
+    """cfg.refine_tail_pool: octave 0 alone + pooled octaves >= 1 must
+    equal the per-octave path bit-for-bit when nothing overflows (the
+    pool only re-packs slots; same elementwise ops per candidate)."""
+    import dataclasses
+
+    rng = np.random.default_rng(33)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (
+        0.4
+        + 0.25 * np.sin(xx / 5) * np.cos(yy / 7)
+        + 0.3 * np.exp(-((yy - 32) ** 2 + (xx - 32) ** 2) / 30.0)
+    )
+    img = jnp.asarray(
+        np.clip(img + 0.04 * rng.standard_normal((64, 64)), 0, 1),
+        jnp.float32,
+    )
+    cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=128)
+    cfg_t = dataclasses.replace(cfg, refine_tail_pool=True)
+
+    kp_a, _ = frontend.detect(img, cfg)
+    kp_b, _ = frontend.detect(img, cfg_t)
+    for f in ("octave", "scale_level", "local_y", "local_x", "abs_y",
+              "abs_x", "abs_sigma", "value", "valid", "reject_reason"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_a, f)), np.asarray(getattr(kp_b, f)), f
+        )
