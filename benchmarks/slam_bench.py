@@ -25,6 +25,52 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
+def render_loop_sequence(rng, num_frames, w, h):
+    """Closed-loop orbit: camera circles the blob field, facing it.
+
+    Returns to the start pose at frame N (θ = 2π) — the loop-closure
+    benchmark for ``--pose-graph`` / ``--loop-stride``: drift
+    accumulated over the orbit must be absorbed when frames near N
+    re-associate with frame-0 landmarks.
+    """
+    import jax.numpy as jnp  # noqa: F401  (parity with render_sequence)
+
+    from sift_scale_space_extrema_detection_tpu.utils.synthetic import (
+        render_blob_image,
+        textured_blob_field,
+    )
+
+    k_mat = np.array(
+        [[260.0 * w / 320, 0, w / 2], [0, 260.0 * w / 320, h / 2], [0, 0, 1.0]]
+    )
+    pts = rng.uniform([-3.5, -1.8, 4.0], [3.5, 1.8, 9.0], size=(200, 3))
+    rpts, amps, ss = textured_blob_field(rng, pts)
+    target = np.array([0.0, 0.0, 6.5])
+    radius = 6.5
+
+    rots, ts, imgs = [], [], []
+    for f in range(num_frames):
+        th = 2.0 * np.pi * f / num_frames
+        center = target + radius * np.array([np.sin(th), 0.0, -np.cos(th)])
+        fwd = target - center
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right = right / np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        r = np.stack([right, down, fwd])  # rows = camera axes
+        t = -r @ center
+        imgs.append(
+            render_blob_image(
+                rpts, r, t, k_mat, (w, h),
+                amplitudes=amps, sigma_scales=ss,
+                rng=np.random.default_rng(100 + f),
+            )
+        )
+        rots.append(r)
+        ts.append(t)
+    return np.stack(imgs), np.stack(rots), np.stack(ts), k_mat
+
+
 def render_sequence(rng, num_frames, w, h):
     import jax.numpy as jnp
 
@@ -39,7 +85,14 @@ def render_sequence(rng, num_frames, w, h):
     # mutually identical — the ratio test kills every match), slow
     # lateral dolly.
     k_mat = np.array([[260.0 * w / 320, 0, w / 2], [0, 260.0 * w / 320, h / 2], [0, 0, 1.0]])
-    pts = rng.uniform([-3.5, -1.8, 4.0], [3.5, 1.8, 9.0], size=(160, 3))
+    # Blob field extends along the dolly path (+0.14/frame) at constant
+    # density: the round-4 trajectory dumps showed the original fixed
+    # [-3.5, 3.5] span ran out of the camera's FOV near frame 33 of a
+    # 40-frame run — the tail frames were measuring scene exhaustion
+    # (tracking loss on an empty field), not tracking quality.
+    x_hi = 3.5 + 0.14 * num_frames
+    n_pts = int(160 * (x_hi + 3.5) / 7.0)
+    pts = rng.uniform([-3.5, -1.8, 4.0], [x_hi, 1.8, 9.0], size=(n_pts, 3))
     rpts, amps, ss = textured_blob_field(rng, pts)
 
     rots, ts, imgs = [], [], []
@@ -138,6 +191,41 @@ def main() -> None:
         "inter-frame rotation on video is << bin width)",
     )
     ap.add_argument(
+        "--bootstrap",
+        type=int,
+        default=1,
+        metavar="K",
+        help="monocular init pair = frames (0, K); wider = more "
+        "parallax (robustness vs the chaotic (0,1) init)",
+    )
+    ap.add_argument(
+        "--f32-upload",
+        action="store_true",
+        help="upload float32 frames instead of uint16 (A/B the upload path)",
+    )
+    ap.add_argument(
+        "--trajectory",
+        choices=("dolly", "loop"),
+        default="dolly",
+        help="dolly = lateral translation (throughput headline); "
+        "loop = closed orbit around the field (loop-closure bench)",
+    )
+    ap.add_argument(
+        "--loop-stride",
+        type=int,
+        default=0,
+        metavar="S",
+        help="enable loop-closure data association: match each frame "
+        "against every S-th old frame and merge verified tracks "
+        "(models/slam.py::build_tracks_from_images)",
+    )
+    ap.add_argument(
+        "--pose-graph",
+        action="store_true",
+        help="run the measured-loop-edge pose graph before the final BA "
+        "(SlamConfig.use_pose_graph)",
+    )
+    ap.add_argument(
         "--breakdown",
         action="store_true",
         help="per-stage wall-clock attribution (syncs at stage "
@@ -162,8 +250,19 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     t_render = time.perf_counter()
-    images, gt_r, gt_t, k_mat = render_sequence(rng, args.frames, w, h)
+    render = (
+        render_loop_sequence if args.trajectory == "loop" else render_sequence
+    )
+    images, gt_r, gt_t, k_mat = render(rng, args.frames, w, h)
     t_render = time.perf_counter() - t_render
+    if not args.f32_upload:
+        # Ship uint16 frames (device converts /65535 — see
+        # models/frontend.py::_as_unit_float). The f32 upload measured
+        # 13 ms/frame of pure tunnel traffic; uint8 was measured and
+        # REJECTED for this bench (ATE 1.55 vs 0.30 — the synthetic
+        # texture's contrast is finer than 8-bit depth; real camera
+        # data is uint8-native and loses nothing on that path).
+        images = np.round(np.clip(images, 0.0, 1.0) * 65535.0).astype(np.uint16)
 
     kw_cfg = dict(
         num_octaves=3,
@@ -181,12 +280,15 @@ def main() -> None:
         ba_window=max(8, args.ba_interval),
         ba_iterations=args.ba_iters,
         final_ba_rounds=args.final_rounds,
+        bootstrap_baseline=args.bootstrap,
+        use_pose_graph=args.pose_graph,
     )
     kw = dict(
         blur=args.blur,
         reassoc_window=args.reassoc,
         max_match_px=args.match_gate,
         frontend_chunk=args.chunk,
+        loop_stride=args.loop_stride,
     )
 
     # Warm-up pass over the FULL sequence: the pipeline's jit shapes
@@ -213,6 +315,17 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     ate = evaluate_ate(result, gt_r, gt_t)
+    import os
+
+    dump = os.environ.get("SLAM_BENCH_DUMP")
+    if dump:
+        np.savez(
+            dump,
+            rotations=np.asarray(result.rotations),
+            translations=np.asarray(result.translations),
+            gt_r=gt_r,
+            gt_t=gt_t,
+        )
     out = {
         "frames": args.frames,
         "image": f"{w}x{h}",

@@ -54,6 +54,27 @@ BLUR_STRATEGIES: dict[str, Callable] = {
 }
 
 
+def _as_unit_float(images: jax.Array) -> jax.Array:
+    """Accept integer images, converting on DEVICE to unit-range float.
+
+    uint8 uses the reference's exact ``/255`` rule
+    (reference/src/image-utils.js:114) — lossless for real camera data,
+    whose source is uint8. uint16 (``/65535``) is the transport for
+    float-native sources that exceed 8-bit depth: the SLAM bench's
+    synthetic texture measured ATE 1.55 vs 0.30 under uint8
+    quantization, while uint16 still halves upload bytes vs f32.
+    Host→device image upload is pure tunnel traffic on this setup
+    (measured ~13 ms/frame of the SLAM loop for f32 at 480p, round-4
+    breakdown); the conversion fuses into the jitted pipeline. Float
+    inputs pass through untouched.
+    """
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    if images.dtype == jnp.uint16:
+        return images.astype(jnp.float32) / 65535.0
+    return images
+
+
 def build_pyramid_fused(
     images: jax.Array,
     cfg: SiftConfig,
@@ -287,7 +308,7 @@ def detect(
     image: jax.Array, cfg: SiftConfig, blur: str = "separable"
 ) -> tuple[Keypoints, list[Extrema]]:
     """Full single-image detection: ``(H, W)`` grayscale → keypoints."""
-    dog, masks = _dog_pyramid(image, cfg, blur)
+    dog, masks = _dog_pyramid(_as_unit_float(image), cfg, blur)
     return detect_from_dog(dog, cfg, masks)
 
 
@@ -299,7 +320,7 @@ def detect_batched(
     The pyramid build is natively batched (blur ops accept leading dims);
     extrema/refinement vmap over the batch.
     """
-    dog, masks = _dog_pyramid(images, cfg, blur)
+    dog, masks = _dog_pyramid(_as_unit_float(images), cfg, blur)
     n = len(dog)
     have_mask = [m is not None for m in masks]
     arrays = list(dog) + [m for m in masks if m is not None]
@@ -323,6 +344,7 @@ def detect_and_describe(
     up to ``max_orientations_per_keypoint`` orientations and 128-D
     descriptors from the octave's Gaussian stack.
     """
+    image = _as_unit_float(image)
     if blur == "fused":
         scale_space, dog, masks = build_pyramid_fused(
             image, cfg, emit_scales=True, emit_masks=True,
@@ -361,6 +383,7 @@ def detect_and_describe_batched(
     The pyramid build is natively batched; per-image stages vmap over the
     leading axis.
     """
+    images = _as_unit_float(images)
     if blur == "fused":
         scale_space, dog, masks = build_pyramid_fused(
             images, cfg, emit_scales=True, emit_masks=True,

@@ -63,6 +63,33 @@ class SlamConfig:
     loop_min_covisible: int = 12
     loop_min_frame_gap: int = 5
     loop_max_edges: int = 16  # highest-covisibility pairs get fresh solves
+    # Monocular bootstrap pair = frames (0, bootstrap_baseline). 1 =
+    # consecutive (round-3 behavior). Wider baselines give
+    # proportionally more parallax to the essential-matrix init — the
+    # round-4 robustness probe showed the (0,1) init is chaotically
+    # sensitive on slow dolly motion: input perturbations at the 1e-5
+    # level (uint16 vs f32 image transport) flipped the bench ATE
+    # 0.30 <-> 1.58 via a different init inlier set and scale. Frames
+    # 1..k-1 are localized by the normal windowed PnP against the
+    # bootstrap map (tracks must survive k consecutive matches to enter
+    # the init set — an additional robustness filter).
+    bootstrap_baseline: int = 1
+    # Catastrophic-pose gate (standard SLAM tracking sanity check): a
+    # windowed-PnP pose whose camera-center step exceeds
+    # ``pose_jump_gate`` x the rolling median inter-frame step is
+    # rejected — the frame holds the previous pose (the existing
+    # lost-tracking fallback) and records no observations, so a garbage
+    # pose can neither enter BA nor poison later triangulations. The
+    # round-4 trajectory dumps showed the ATE-1.58 bench mode was
+    # exactly this: 3 frames at 1e4-1e5x the median step (a PnP local
+    # minimum on a depleted landmark set) dominating the Umeyama
+    # alignment, while every other frame tracked cleanly. Scale-free
+    # (ratio of estimated steps), so it needs no metric prior. 0
+    # disables.
+    pose_jump_gate: float = 25.0
+    # Minimum landmark count before BA is dispatched through the
+    # landmark-sharded distributed solver on a mesh (see run_slam._ba).
+    dist_ba_min_landmarks: int = 4096
 
 
 @dataclasses.dataclass
@@ -195,7 +222,15 @@ def run_slam(
     fx = k_mat[0, 0]
 
     def _ba(state, obs, num_iterations, num_fixed_cameras):
-        if mesh is not None:
+        # Shard the landmark block only when it is big enough to pay
+        # for the Schur psum: below ``dist_ba_min_landmarks`` the
+        # collective latency exceeds the sharded compute (composed
+        # 8-virtual-device SLAM measured 0.47x overall with every tiny
+        # windowed BA forced through the distributed path; the
+        # realistic-size BA scaling row in scaling_bench keeps the
+        # sharded solver honest at 32k landmarks). Standard practice:
+        # shard what is large, replicate what is small.
+        if mesh is not None and state.points.shape[0] >= cfg.dist_ba_min_landmarks:
             from ..parallel.distributed import distributed_bundle_adjust
 
             return distributed_bundle_adjust(
@@ -287,12 +322,18 @@ def run_slam(
             geo.backproject(jnp.asarray(uv), k_jnp)
         )
 
-    # ---- bootstrap from frames 0, 1 (skipped on resume) ---------------
+    # ---- bootstrap from frames (0, kb) (skipped on resume) -------------
+    # kb = cfg.bootstrap_baseline: wider pairs carry ~kb x the parallax
+    # (see SlamConfig). Frames 1..kb-1 are posed by the windowed PnP
+    # below against the bootstrap map; frame kb's observations are
+    # recorded by its own window pass (recording them here would
+    # duplicate them when kb >= start_f).
+    kb = max(1, min(cfg.bootstrap_baseline, num_frames - 1))
     if resume_frame < 1:
-        common = visible[0] & visible[1]
+        common = visible[0] & visible[kb]
         ids = np.where(common)[0]
         rays1 = backproject(0, ids)
-        rays2 = backproject(1, ids)
+        rays2 = backproject(kb, ids)
         res = estimate_essential_ransac(
             jnp.asarray(rays1),
             jnp.asarray(rays2),
@@ -303,15 +344,15 @@ def run_slam(
         )
         est_r[0] = np.eye(3)
         est_t[0] = 0.0
-        est_r[1] = np.asarray(res.rotation)
-        est_t[1] = np.asarray(res.translation)  # unit baseline = gauge
+        est_r[kb] = np.asarray(res.rotation)
+        est_t[kb] = np.asarray(res.translation)  # unit baseline = gauge
 
         inl = np.asarray(res.inliers)
         tri, depths = geo.triangulate_midpoint(
             jnp.asarray(est_r[0]),
             jnp.asarray(est_t[0]),
-            jnp.asarray(est_r[1]),
-            jnp.asarray(est_t[1]),
+            jnp.asarray(est_r[kb]),
+            jnp.asarray(est_t[kb]),
             jnp.asarray(rays1),
             jnp.asarray(rays2),
         )
@@ -319,16 +360,22 @@ def run_slam(
         new_ids = ids[good]
         points[new_ids] = np.asarray(tri)[good]
         lm_valid[new_ids] = True
-        for f in (0, 1):
+        boot_obs_frames = (0, 1) if kb == 1 else (0,)
+        for f in boot_obs_frames:
             obs_cam.append(np.full(len(new_ids), f, np.int64))
             obs_lm.append(new_ids.astype(np.int64))
             obs_uv.append(pixels[f, new_ids])
         # Every landmark seen at bootstrap records its earliest frame so its
         # first observation enters triangulation/BA later (not only the
-        # frame-0 AND frame-1 common set).
+        # frame-0 AND frame-kb common set).
         first_seen_kf[visible[0]] = 0
-        only1 = visible[1] & ~visible[0]
-        first_seen_kf[only1] = 1
+        if kb == 1:
+            only1 = visible[1] & ~visible[0]
+            first_seen_kf[only1] = 1
+        # kb > 1: the window loop starts at frame 1 and stamps
+        # first-seen in frame order — pre-stamping frame kb here would
+        # hide earlier sightings at frames 1..kb-1 (less triangulation
+        # baseline later).
 
     # ---- incremental tracking: WINDOWED device dispatches --------------
     # Round-3 measured the per-frame loop as pure round-trip latency:
@@ -351,7 +398,27 @@ def run_slam(
     pix_pad = np.pad(pixels, ((0, 0), (0, lm_pad), (0, 0)))
     vis_pad = np.pad(visible, ((0, 0), (0, lm_pad)))
 
-    start_f = max(2, resume_frame + 1)
+    # Rolling inter-frame camera-center steps of ACCEPTED tracked
+    # frames (pose_jump_gate); seeded with the bootstrap pair's
+    # per-frame step so the gate has a scale anchor from the first
+    # window on. On resume, re-seeded from the checkpointed trajectory.
+    recent_steps: list[float] = []
+    if resume_frame < 1:
+        c_kb = -est_r[kb].T @ est_t[kb]
+        recent_steps.append(float(np.linalg.norm(c_kb)) / kb)
+    else:
+        for f in range(max(1, resume_frame - 11), resume_frame + 1):
+            c0 = -est_r[f - 1].T @ est_t[f - 1]
+            c1 = -est_r[f].T @ est_t[f]
+            s_len = float(np.linalg.norm(c1 - c0))
+            if s_len > 0.0:
+                recent_steps.append(s_len)
+
+    # With a wide bootstrap baseline, frames 1..kb-1 (and kb itself —
+    # its observations are recorded here rather than at bootstrap) are
+    # localized by the same windowed PnP; with kb == 1 the loop starts
+    # at frame 2 as before.
+    start_f = max(1 if kb > 1 else 2, resume_frame + 1)
     for base in range(start_f, num_frames, win):
         end = min(base + win, num_frames)  # exclusive
         w_act = end - base
@@ -385,32 +452,66 @@ def run_slam(
                 huber_delta=cfg.huber_px,
             )
             r_h, t_h = jax.device_get((rs, ts))
-            est_r[base:end] = r_h[:w_act]
-            est_t[base:end] = t_h[:w_act]
         if profile is not None:
             profile.count()
+
+        # --- catastrophic-pose gate (host; see SlamConfig) --------------
+        # Sequential so a frame after a rejected one is judged against
+        # the HELD (sane) center, not the garbage one — the device scan
+        # chained its init from the garbage pose, but LM recovers when
+        # the map is good, so its pose is usually acceptable.
+        gated = np.zeros(w_act, bool)
+        c_prev = -est_r[base - 1].T @ est_t[base - 1]
+        for i_f, f in enumerate(range(base, end)):
+            c_new = -r_h[i_f].T @ t_h[i_f]
+            step_len = float(np.linalg.norm(c_new - c_prev))
+            med = (
+                float(np.median(recent_steps))
+                if len(recent_steps) >= 3
+                else None
+            )
+            if (
+                cfg.pose_jump_gate > 0
+                and med is not None
+                and step_len > cfg.pose_jump_gate * max(med, 1e-12)
+            ):
+                gated[i_f] = True
+                est_r[f] = est_r[f - 1]
+                est_t[f] = est_t[f - 1]
+            else:
+                est_r[f] = r_h[i_f]
+                est_t[f] = t_h[i_f]
+                if counts[i_f] >= 6 and step_len > 0.0:
+                    recent_steps.append(step_len)
+                    del recent_steps[:-12]
+                c_prev = c_new
 
         # --- record observations of mapped landmarks (vectorized) ------
         with _st("obs_record"):
             for i_f, f in enumerate(range(base, end)):
-                if counts[i_f] < 6:
-                    continue  # lost frame: pose held by the scan, no obs
+                if counts[i_f] < 6 or gated[i_f]:
+                    continue  # lost/rejected frame: pose held, no obs
                 ids = np.where(mask_w[i_f])[0]
                 obs_cam.append(np.full(len(ids), f, np.int64))
                 obs_lm.append(ids.astype(np.int64))
                 obs_uv.append(pixels[f, ids])
 
         # --- first-seen bookkeeping, in frame order --------------------
+        # Gated frames are invisible to mapping: their held pose must
+        # not anchor a future triangulation (pose/pixel mismatch).
+        vis_eff = vis_w if not gated.any() else vis_w & ~gated[:, None]
         for i_f, f in enumerate(range(base, end)):
-            newly = vis_w[i_f] & (first_seen_kf < 0)
+            if gated[i_f]:
+                continue
+            newly = vis_eff[i_f] & (first_seen_kf < 0)
             first_seen_kf[newly] = f
 
         # --- ONE batched triangulation for the whole window ------------
         # Candidate = landmark not yet in the map, first seen at f0,
         # visible again at some window frame > f0; pair (f0, last
         # visible window frame) maximizes baseline.
-        any_vis = vis_w.any(axis=0)
-        last_in_win = base + (w_act - 1) - np.argmax(vis_w[::-1], axis=0)
+        any_vis = vis_eff.any(axis=0)
+        last_in_win = base + (w_act - 1) - np.argmax(vis_eff[::-1], axis=0)
         cand = np.where(
             ~lm_valid
             & (first_seen_kf >= 0)
@@ -733,6 +834,45 @@ def _match_window(desc, valid, query_f, kf_table, ratio):
     return jax.lax.map(per_query, (query_f, kf_table))
 
 
+def _match_window_any(desc, valid, query_f, kf_table, ratio, mesh=None):
+    """:func:`_match_window`, query-sharded over a mesh when given.
+
+    Descriptors/validity are replicated (small: (F, S, 128)); the
+    query axis — embarrassingly parallel, no cross-device combine —
+    is sharded, so N devices each run 1/N of the sequential
+    ``lax.map``. Replaces the round-3 per-frame
+    ``match_against_keyframes_sharded`` dispatches in the composed
+    pipeline (one collective-free dispatch for the whole sequence vs
+    one per frame; that helper remains the standalone keyframe-sharded
+    matching API, exercised by tests/test_distributed.py). Queries are
+    padded to the device count with kf_table = -1 rows (all-invalid
+    output, dropped by the caller).
+    """
+    if mesh is None:
+        return _match_window(desc, valid, query_f, kf_table, ratio)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n_q = query_f.shape[0]
+    pad = (-n_q) % n_dev
+    if pad:
+        query_f = jnp.concatenate([query_f, jnp.zeros((pad,), query_f.dtype)])
+        kf_table = jnp.concatenate(
+            [kf_table, jnp.full((pad, kf_table.shape[1]), -1, kf_table.dtype)]
+        )
+    fn = shard_map(
+        functools.partial(_match_window, ratio=ratio),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+    idx, val = fn(desc, valid, query_f, kf_table)
+    return idx[:n_q], val[:n_q]
+
+
 def build_tracks_from_images(
     images: np.ndarray,
     sift_cfg,
@@ -746,6 +886,9 @@ def build_tracks_from_images(
     frontend_chunk: int = 16,
     profile=None,
     max_match_px: float | None = None,
+    loop_stride: int = 0,
+    loop_min_gap: int = 10,
+    loop_min_matches: int = 12,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -803,23 +946,42 @@ def build_tracks_from_images(
     n_dev = mesh.devices.size if mesh is not None else 1
     parts = []
     for lo in _prof_iter(range(0, num_frames_total, chunk), _st, "frontend"):
-        part = np.asarray(images[lo : lo + chunk], np.float32)
-        n_part = part.shape[0]
-        if len(parts):  # tail: pad to reuse the compiled shape
-            target = chunk
-        else:
-            # First (possibly only) chunk: no padding needed off-mesh,
-            # but a mesh shards the batch axis, so it must divide the
-            # device count (device_put rejects it otherwise).
-            target = n_part + (-n_part) % n_dev
-        pad = target - n_part
-        if pad:
-            part = np.concatenate([part, np.zeros((pad,) + part.shape[1:], part.dtype)])
-        out = frontend(jnp.asarray(part))
+        with _st("frontend_upload"):
+            # Integer frames upload as-is (uint8: 4x, uint16: 2x fewer
+            # tunnel bytes); the jitted frontend converts on device
+            # (/255 resp. /65535 — models/frontend.py::_as_unit_float).
+            src_dtype = np.asarray(images[lo : lo + 1]).dtype
+            up_dtype = (
+                src_dtype
+                if src_dtype in (np.uint8, np.uint16)
+                else np.float32
+            )
+            part = np.asarray(images[lo : lo + chunk], up_dtype)
+            n_part = part.shape[0]
+            if len(parts):  # tail: pad to reuse the compiled shape
+                target = chunk
+            else:
+                # First (possibly only) chunk: no padding needed
+                # off-mesh, but a mesh shards the batch axis, so it
+                # must divide the device count (device_put rejects it
+                # otherwise).
+                target = n_part + (-n_part) % n_dev
+            pad = target - n_part
+            if pad:
+                part = np.concatenate(
+                    [part, np.zeros((pad,) + part.shape[1:], part.dtype)]
+                )
+            part = jax.device_put(jnp.asarray(part))
+        out = frontend(part)
         if pad:
             out = jax.tree.map(lambda a: a[:n_part], out)
+        if profile is not None:
+            # Attribution-only sync: splits device compute out of the
+            # fetch stage (production runs stay async until the fetch).
+            with _st("frontend_compute"):
+                profile.sync(out)
         parts.append(out)
-    with _st("frontend"):
+    with _st("frontend_fetch"):
         described = (
             parts[0]
             if len(parts) == 1
@@ -828,7 +990,11 @@ def build_tracks_from_images(
         valid = np.asarray(described.valid)
         xs = np.asarray(described.abs_x)
         ys = np.asarray(described.abs_y)
-        desc = np.asarray(described.descriptor)
+        # Descriptors stay DEVICE-RESIDENT on every path: all matching
+        # (consecutive, window, loop) consumes them in batched device
+        # dispatches, and fetching the (F, S, 128) f32 buffer only to
+        # re-upload it measured ~5 ms/frame of pure tunnel traffic
+        # (round-4 frontend_fetch attribution).
     if profile is not None:
         profile.count()
 
@@ -849,8 +1015,8 @@ def build_tracks_from_images(
     # padded per-pair correspondences. The host loop below only chains
     # precomputed arrays.
     with _st("match_consecutive"):
-        d_all = jnp.asarray(desc)
-        v_all = jnp.asarray(valid)
+        d_all = described.descriptor
+        v_all = described.valid
         cons_idx, cons_val = _match_consecutive(d_all, v_all, match_ratio)
         cons_idx = np.asarray(cons_idx)
         cons_val = np.asarray(cons_val)
@@ -903,10 +1069,12 @@ def build_tracks_from_images(
                 pair_is[p] = pair_is[p][keep]
                 pair_js[p] = pair_js[p][keep]
 
-    # Window re-association matches, also batched (single-device path;
-    # the mesh path stays per-frame keyframe-sharded below).
+    # Window re-association matches, also batched — ONE dispatch for
+    # the whole sequence on device and mesh alike (query-sharded over
+    # the mesh, see _match_window_any; the round-3 per-frame sharded
+    # dispatches made the composed mesh path SLOWER than single-device).
     w_idx_all = w_val_all = None
-    if reassoc_window > 0 and mesh is None and num_frames > 2:
+    if reassoc_window > 0 and num_frames > 2:
         qf = np.arange(2, num_frames, dtype=np.int32)
         kf_table = np.full((len(qf), reassoc_window), -1, np.int32)
         for i, f in enumerate(qf):
@@ -914,8 +1082,9 @@ def build_tracks_from_images(
             kfs = range(lo, f - 1)
             kf_table[i, : len(kfs)] = list(kfs)
         with _st("match_window"):
-            w_idx_all, w_val_all = _match_window(
-                d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table), match_ratio
+            w_idx_all, w_val_all = _match_window_any(
+                d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table),
+                match_ratio, mesh,
             )
             w_idx_all = np.asarray(w_idx_all)
             w_val_all = np.asarray(w_val_all)
@@ -939,42 +1108,11 @@ def build_tracks_from_images(
             lo = max(0, f - 1 - reassoc_window)
             kfs = list(range(lo, f - 1))  # excludes f-1 (already matched)
             if kfs:
-                if mesh is not None:
-                    kf_desc = jnp.asarray(desc[kfs])
-                    kf_valid = jnp.asarray(valid[kfs])
-                    from ..parallel.distributed import (
-                        match_against_keyframes_sharded,
-                    )
-
-                    n_dev = mesh.devices.size
-                    pad_k = (-len(kfs)) % n_dev
-                    if pad_k:
-                        kf_desc = jnp.concatenate(
-                            [kf_desc, jnp.zeros(
-                                (pad_k,) + kf_desc.shape[1:], kf_desc.dtype
-                            )]
-                        )
-                        kf_valid = jnp.concatenate(
-                            [kf_valid, jnp.zeros(
-                                (pad_k,) + kf_valid.shape[1:], bool
-                            )]
-                        )
-                    w_idx, _, w_val = match_against_keyframes_sharded(
-                        jnp.asarray(desc[f]),
-                        jnp.asarray(valid[f]),
-                        kf_desc,
-                        kf_valid,
-                        mesh,
-                        ratio=match_ratio,
-                    )
-                    w_idx = np.asarray(w_idx)[: len(kfs)]
-                    w_val = np.asarray(w_val)[: len(kfs)]
-                else:
-                    # Precomputed by the ONE batched _match_window
-                    # dispatch above (row i ↔ query frame i+2, slots
-                    # [0:len(kfs)] in the same oldest→newest order).
-                    w_idx = w_idx_all[f - 2, : len(kfs)]
-                    w_val = w_val_all[f - 2, : len(kfs)]
+                # Precomputed by the ONE batched _match_window_any
+                # dispatch above (row i ↔ query frame i+2, slots
+                # [0:len(kfs)] in the same oldest→newest order).
+                w_idx = w_idx_all[f - 2, : len(kfs)]
+                w_val = w_val_all[f - 2, : len(kfs)]
                 # Most recent keyframe wins; only fill untracked slots.
                 for wk in range(len(kfs) - 1, -1, -1):
                     kf = kfs[wk]
@@ -995,6 +1133,108 @@ def build_tracks_from_images(
         js = js[: max(0, max_tracks - next_track)]
         track_of[f, js] = next_track + np.arange(len(js))
         next_track += len(js)
+
+    # --- loop-closure data association (optional; green-field) ----------
+    # Consecutive+window matching can never re-associate a feature with
+    # a track last seen many frames ago, so co-visibility loop edges
+    # (SlamConfig.use_pose_graph / measure_loop_edge) structurally
+    # cannot fire on a closed loop. This pass is the missing place
+    # recognition: every frame past ``loop_min_gap`` is descriptor-
+    # matched (ONE batched dispatch, same kernel as the window pass)
+    # against a ``loop_stride``-subsampled set of old frames; pairs with
+    # enough mutual matches are essential-RANSAC verified (one batched
+    # dispatch), and inlier matches MERGE the two track ids (union-
+    # find). Merged tracks give the backend genuine cross-loop
+    # co-observations — both global BA and the pose-graph loop edges
+    # consume them with no further plumbing. ``loop_stride=0`` disables
+    # (the default: brute-force place recognition over all old frames
+    # is O(F²/stride) matches and is priced for loop-shaped sequences).
+    if loop_stride > 0 and num_frames > loop_min_gap + 1:
+        qf = np.arange(loop_min_gap, num_frames, dtype=np.int32)
+        n_cols = max(1, (num_frames - loop_min_gap + loop_stride - 1) // loop_stride)
+        kf_table = np.full((len(qf), n_cols), -1, np.int32)
+        for i, f in enumerate(qf):
+            cands = list(range(0, f - loop_min_gap + 1, loop_stride))
+            kf_table[i, : len(cands)] = cands[:n_cols]
+        with _st("loop_match"):
+            l_idx, l_val = _match_window_any(
+                d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table),
+                match_ratio, mesh,
+            )
+            l_idx = np.asarray(l_idx)
+            l_val = np.asarray(l_val)
+        if profile is not None:
+            profile.count()
+        # Candidate pairs with enough mutual matches for verification.
+        cand_pairs = []  # (f, kf, src_slots, dst_slots)
+        for i, f in enumerate(qf):
+            for c in range(n_cols):
+                kf = kf_table[i, c]
+                if kf < 0:
+                    continue
+                src = np.where(l_val[i, c])[0]
+                if len(src) >= max(8, loop_min_matches):
+                    cand_pairs.append((int(f), int(kf), src, l_idx[i, c, src]))
+        if cand_pairs and k_mat is not None:
+            cap = 1 << max(
+                6, (max(len(s) for _, _, s, _ in cand_pairs) - 1).bit_length()
+            )
+            n_p = len(cand_pairs)
+            uv1 = np.zeros((n_p, cap, 2), np.float32)
+            uv2 = np.zeros((n_p, cap, 2), np.float32)
+            msk = np.zeros((n_p, cap), bool)
+            for p, (f, kf, src, dst) in enumerate(cand_pairs):
+                n = len(src)
+                uv1[p, :n, 0] = xs[f, src]
+                uv1[p, :n, 1] = ys[f, src]
+                uv2[p, :n, 0] = xs[kf, dst]
+                uv2[p, :n, 1] = ys[kf, dst]
+                msk[p, :n] = True
+            keys = np.stack(
+                [
+                    np.asarray(jax.random.PRNGKey(10_000 + p))
+                    for p in range(n_p)
+                ]
+            )
+            with _st("loop_verify"):
+                inl = np.asarray(
+                    _verify_pairs(
+                        jnp.asarray(uv1),
+                        jnp.asarray(uv2),
+                        jnp.asarray(msk),
+                        jnp.asarray(k_mat, jnp.float32),
+                        jnp.asarray(keys),
+                        ransac_threshold_px / float(k_mat[0, 0]),
+                        256,
+                    )
+                )
+            if profile is not None:
+                profile.count()
+            parent = np.arange(next_track, dtype=np.int64)
+
+            def _find(a: int) -> int:
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for p, (f, kf, src, dst) in enumerate(cand_pairs):
+                keep = inl[p, : len(src)]
+                if keep.sum() < loop_min_matches:
+                    continue
+                for s_slot, d_slot in zip(src[keep], dst[keep]):
+                    ta = track_of[f, s_slot]
+                    tb = track_of[kf, d_slot]
+                    if ta < 0 or tb < 0 or ta == tb:
+                        continue
+                    ra, rb = _find(int(ta)), _find(int(tb))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([_find(t) for t in range(next_track)], np.int64)
+            uniq, remap = np.unique(roots, return_inverse=True)
+            live = track_of >= 0
+            track_of[live] = remap[roots[track_of[live]]]
+            next_track = len(uniq)
 
     n_tracks = next_track
     pixels = np.zeros((num_frames, n_tracks, 2))
@@ -1019,6 +1259,7 @@ def run_slam_from_images(
     frontend_chunk: int = 16,
     profile=None,
     max_match_px: float | None = None,
+    loop_stride: int = 0,
     **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
@@ -1034,7 +1275,7 @@ def run_slam_from_images(
         images, sift_cfg, k_mat=k_mat, match_ratio=match_ratio,
         mesh=mesh, reassoc_window=reassoc_window, blur=blur,
         frontend_chunk=frontend_chunk, profile=profile,
-        max_match_px=max_match_px,
+        max_match_px=max_match_px, loop_stride=loop_stride,
     )
     return run_slam(
         pixels, visible, k_mat, slam_cfg, mesh=mesh, profile=profile,

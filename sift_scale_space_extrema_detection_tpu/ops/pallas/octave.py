@@ -64,8 +64,9 @@ from ..gaussian import gaussian_kernel_1d, kernel_radius
 # Scoped-VMEM budget for choosing the stripe height. Mosaic materializes
 # a stripe-sized temporary per unrolled tap slice (measured in round 1),
 # so the dominant term is ~max-taps × stripe bytes; outputs are double
-# buffered by the pipeline.
-_VMEM_BUDGET = 13 * 1024 * 1024
+# buffered by the pipeline. Env-overridable for tile-height A/Bs
+# (SIFT_FUSED_VMEM_MB) — the hardware cap is ~16 MB/core.
+_VMEM_BUDGET = int(os.environ.get("SIFT_FUSED_VMEM_MB", "13")) * 1024 * 1024
 
 # Cross-step double-buffered stripe DMA (see _octave_kernel). Module
 # global rather than a per-call arg so bench.py can flip it and
@@ -104,6 +105,7 @@ def _plan(
     for tile_h, chunk in (
         (128, 256),
         (64, 256),
+        (48, 256),
         (32, 512),
         (32, 0),
         (16, 0),
