@@ -138,8 +138,20 @@ def main() -> None:
         run_slam_from_images,
     )
 
+    # 16 frames: divisible by the device count, so the 8-device arm
+    # runs the SAME total frontend work (the earlier 12-frame config
+    # padded 12 → 2×8 on the mesh — +33 % work on a core-bound host,
+    # which read as "sharding made it slower"). Stage attribution
+    # (round 4): the frontend is 76–92 % of composed wall-clock here,
+    # and XLA:CPU intra-op parallelism already saturates all 4 host
+    # cores at 1 device — so the composed ceiling on shared cores is
+    # ~1.0x by construction; real chips (own cores/HBM per device) are
+    # where the DP frontend's sharding pays (dryrun_multichip compiles
+    # and runs that path; the per-component rows above isolate what
+    # CAN be measured here).
+    n_frames = 16
     rng = np.random.default_rng(1)
-    images, gt_r, gt_t, k_mat = render_sequence(rng, 12, 320, 240)
+    images, gt_r, gt_t, k_mat = render_sequence(rng, n_frames, 320, 240)
     s_cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
     sl_cfg = SlamConfig(ba_interval=4, ba_window=6)
     for n_dev in (1, args.devices):
@@ -147,7 +159,7 @@ def main() -> None:
         mesh = make_mesh(n_dev)
         kw = dict(
             mesh=mesh, reassoc_window=2, blur="separable",
-            frontend_chunk=max(1, 12 // n_dev),
+            frontend_chunk=max(1, n_frames // n_dev),
         )
         run_slam_from_images(images, k_mat, s_cfg, sl_cfg, **kw)  # compile
         t0 = time.perf_counter()

@@ -26,15 +26,21 @@ import numpy as np
 
 
 def render_loop_sequence(rng, num_frames, w, h):
-    """Closed-loop orbit: camera circles the blob field, facing it.
+    """Closed-loop out-and-back dolly: A → B → A along the blob field.
 
-    Returns to the start pose at frame N (θ = 2π) — the loop-closure
-    benchmark for ``--pose-graph`` / ``--loop-stride``: drift
-    accumulated over the orbit must be absorbed when frames near N
-    re-associate with frame-0 landmarks.
+    The return leg revisits the outbound viewpoints (offset by half a
+    step so frames are not bit-identical), closing the loop at frame
+    N-1 ≈ frame 0 — the loop-closure benchmark for ``--loop-stride`` /
+    ``--pose-graph``: drift accumulated over the round trip must be
+    absorbed when return frames re-associate with outbound landmarks.
+    (A camera-orbit variant was tried first and REJECTED as a bench:
+    9°/frame of viewpoint change around a shallow field broke tracks
+    at length 1-2 — it measured descriptor viewpoint invariance, not
+    loop closure.)
     """
     import jax.numpy as jnp  # noqa: F401  (parity with render_sequence)
 
+    from sift_scale_space_extrema_detection_tpu.sfm import geometry as geo
     from sift_scale_space_extrema_detection_tpu.utils.synthetic import (
         render_blob_image,
         textured_blob_field,
@@ -43,21 +49,21 @@ def render_loop_sequence(rng, num_frames, w, h):
     k_mat = np.array(
         [[260.0 * w / 320, 0, w / 2], [0, 260.0 * w / 320, h / 2], [0, 0, 1.0]]
     )
-    pts = rng.uniform([-3.5, -1.8, 4.0], [3.5, 1.8, 9.0], size=(200, 3))
+    half = num_frames // 2
+    x_hi = 3.5 + 0.14 * (half + 1)
+    n_pts = int(160 * (x_hi + 3.5) / 7.0)
+    pts = rng.uniform([-3.5, -1.8, 4.0], [x_hi, 1.8, 9.0], size=(n_pts, 3))
     rpts, amps, ss = textured_blob_field(rng, pts)
-    target = np.array([0.0, 0.0, 6.5])
-    radius = 6.5
 
     rots, ts, imgs = [], [], []
     for f in range(num_frames):
-        th = 2.0 * np.pi * f / num_frames
-        center = target + radius * np.array([np.sin(th), 0.0, -np.cos(th)])
-        fwd = target - center
-        fwd = fwd / np.linalg.norm(fwd)
-        right = np.cross([0.0, 1.0, 0.0], fwd)
-        right = right / np.linalg.norm(right)
-        down = np.cross(fwd, right)
-        r = np.stack([right, down, fwd])  # rows = camera axes
+        # Outbound f = 0..half; return retraces at the same speed,
+        # half-step offset. Gentle yaw wiggle keeps rotation DoF alive.
+        x = 0.14 * (f if f <= half else (num_frames - f - 0.5))
+        r = np.asarray(
+            geo.so3_exp(jnp.asarray([0.0, 0.02 * np.sin(0.5 * f), 0.0]))
+        )
+        center = np.array([x, 0.0, 0.0])
         t = -r @ center
         imgs.append(
             render_blob_image(

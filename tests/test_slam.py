@@ -220,3 +220,86 @@ def test_rpe_protocol_properties():
     t_new = -jnp.einsum("nij,nj->ni", r_new, c_new)
     assert float(relative_pose_error(r_new, t_new, rots, ts)) < 1e-6
     assert float(relative_rotation_error(r_new, rots)) < 1e-6
+
+
+def test_pose_jump_gate_rejects_catastrophic_frame():
+    """A frame whose observations are consistent with a far-away camera
+    (the round-4 failure mode: a PnP solution at 1e4-1e5x the median
+    step on a bad landmark set) must be rejected by
+    ``SlamConfig.pose_jump_gate`` — its pose held, its observations
+    kept out of BA — while ``pose_jump_gate=0`` reproduces the
+    unguarded behavior (the estimated center lands far away)."""
+    from sift_scale_space_extrema_detection_tpu.sfm import geometry as geo
+
+    rng = np.random.default_rng(5)
+    seq = orbit_sequence(rng, num_frames=16, num_landmarks=250, noise_px=0.2)
+    pix = np.array(seq.pixels)
+    k = 9
+    # Re-project frame k's visible landmarks from a camera displaced by
+    # 60 units: a self-consistent but catastrophically wrong view.
+    d = np.array([60.0, 0.0, 0.0])
+    t_bad = seq.translations[k] - seq.rotations[k] @ d
+    cam = seq.points @ seq.rotations[k].T + t_bad
+    uv_bad = np.asarray(
+        geo.project(jnp.asarray(cam), jnp.asarray(seq.k_mat))
+    )
+    vis_k = seq.visible[k]
+    pix[k, vis_k] = uv_bad[vis_k]
+
+    gated = run_slam(pix, seq.visible, seq.k_mat, SlamConfig(ba_interval=4))
+    open_cfg = SlamConfig(ba_interval=4, pose_jump_gate=0.0)
+    ungated = run_slam(pix, seq.visible, seq.k_mat, open_cfg)
+
+    def center(res, f):
+        return -res.rotations[f].T @ res.translations[f]
+
+    # Ungated: frame k's center jumps toward the displaced camera.
+    jump_ungated = np.linalg.norm(center(ungated, k) - center(ungated, k - 1))
+    jump_gated = np.linalg.norm(center(gated, k) - center(gated, k - 1))
+    assert jump_ungated > 10.0, f"corruption did not bite ({jump_ungated:.2f})"
+    assert jump_gated < 2.0, f"gate failed to hold the pose ({jump_gated:.2f})"
+    # The held frame sits ~one orbit step (~2.2 units) behind its true
+    # pose — the best achievable with its observations corrupted — so
+    # assert the damage is contained, not absent: every OTHER frame
+    # stays accurate and the global ATE beats the ungated run by a
+    # wide margin.
+    ate = evaluate_ate(gated, seq.rotations, seq.translations)
+    ate_ungated = evaluate_ate(ungated, seq.rotations, seq.translations)
+    assert ate < 0.8, f"gated ATE {ate:.4f}"
+    assert ate < ate_ungated / 3, f"gated {ate:.3f} vs ungated {ate_ungated:.3f}"
+
+
+def test_loop_closure_association_merges_tracks():
+    """Place recognition across a featureless gap: the same texture
+    reappears after 3 blank frames; ``loop_stride`` must merge the
+    reappeared keypoints into the original tracks (verified by
+    essential RANSAC), giving cross-gap co-observations — without it,
+    consecutive+window matching structurally cannot."""
+    from sift_scale_space_extrema_detection_tpu import SiftConfig
+    from sift_scale_space_extrema_detection_tpu.models.slam import (
+        build_tracks_from_images,
+    )
+    from sift_scale_space_extrema_detection_tpu.ops.gaussian import (
+        blur_separable,
+    )
+
+    rng = np.random.default_rng(7)
+    tex = np.asarray(blur_separable(jnp.asarray(rng.random((200, 200))), 1.2))
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    dy, dx = 4, 6
+    img0 = tex[dy : dy + 160, dx : dx + 160]
+    blank = np.full((160, 160), 0.5)
+    img4 = tex[0:160, 0:160]
+    images = np.stack([img0, blank, blank, blank, img4]).astype(np.float32)
+    k_mat = np.array([[200.0, 0, 80.0], [0, 200.0, 80.0], [0, 0, 1.0]])
+
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=256)
+    kw = dict(k_mat=k_mat, reassoc_window=0, loop_min_gap=3,
+              loop_min_matches=8)
+    _, vis_off, _ = build_tracks_from_images(images, cfg, loop_stride=0, **kw)
+    _, vis_on, _ = build_tracks_from_images(images, cfg, loop_stride=1, **kw)
+
+    assert (vis_off[0] & vis_off[4]).sum() == 0
+    merged = (vis_on[0] & vis_on[4]).sum()
+    assert merged >= 8, f"only {merged} merged tracks"
+    assert vis_on.shape[1] < vis_off.shape[1]  # union-find compacted
