@@ -383,12 +383,14 @@ def run_slam(
     # tunnel latency each (slam_bench --breakdown: pnp 27.5 ms/call,
     # triangulate 28.4 ms/call — the device compute is microseconds).
     # Frames are therefore tracked in windows of ``ba_interval`` frames
-    # against a map FROZEN at the window start: ONE lax.scan-of-PnP
-    # dispatch localizes the whole window (the scan carries the pose
-    # chain, so the motion-model init is preserved), then ONE batched
-    # triangulation inserts every landmark that became two-view
-    # observable anywhere in the window, then the windowed BA runs once.
-    # Device round-trips per window: 3, vs ~2 per FRAME before.
+    # against a map FROZEN at the window start: ONE fused dispatch
+    # (_track_and_map_window) runs the lax.scan-of-PnP for the whole
+    # window (the scan carries the pose chain, so the motion-model init
+    # is preserved) AND the batched triangulation of every landmark
+    # that became two-view observable anywhere in the window — the
+    # candidate pairs are selected on the host BEFORE the dispatch from
+    # visibility bookkeeping alone; then the windowed BA runs once.
+    # Device round-trips per window: 2, vs ~2 per FRAME before.
     # Freezing the map for ≤W frames delays a new landmark's first use
     # in PnP by at most one window (it still enters BA via its
     # (first-seen, last-seen) observations immediately).
@@ -424,13 +426,51 @@ def run_slam(
         w_act = end - base
         vis_w = visible[base:end]  # (w_act, L)
 
-        # --- ONE PnP-scan dispatch for the window (frozen map) ---------
+        # --- ONE fused PnP+triangulation dispatch per window -----------
         mask_w = vis_w & lm_valid[None, :]
         counts = mask_w.sum(axis=1)
-        with _st("pnp"):
+
+        # Candidate selection BEFORE the dispatch: it needs only
+        # visibility bookkeeping. A PREVIEW first-seen stamp (assuming
+        # no frame gets gated) picks the pairs; the authoritative
+        # update below applies gating, and candidates whose preview
+        # disagrees are dropped after the fetch.
+        fs_prev = first_seen_kf.copy()
+        for i_f, f in enumerate(range(base, end)):
+            newly = vis_w[i_f] & (fs_prev < 0)
+            fs_prev[newly] = f
+        any_vis_prev = vis_w.any(axis=0)
+        last_prev = base + (w_act - 1) - np.argmax(vis_w[::-1], axis=0)
+        cand = np.where(
+            ~lm_valid
+            & (fs_prev >= 0)
+            & any_vis_prev
+            & (last_prev > fs_prev)
+        )[0]
+        n_cand = len(cand)
+        cap = 1 << max(5, (max(n_cand, 1) - 1).bit_length())
+        f0s = fs_prev[cand]
+        f1s = last_prev[cand]
+        a_in_win = np.zeros(cap, bool)
+        a_in_win[:n_cand] = f0s >= base
+        a_idx = np.zeros(cap, np.int32)
+        a_idx[:n_cand] = np.maximum(f0s - base, 0)
+        b_idx = np.zeros(cap, np.int32)
+        b_idx[:n_cand] = f1s - base
+        r_a_ext = np.broadcast_to(np.eye(3), (cap, 3, 3)).copy()
+        t_a_ext = np.zeros((cap, 3))
+        ext_rows = np.where(~a_in_win[:n_cand])[0]
+        r_a_ext[ext_rows] = est_r[f0s[ext_rows]]
+        t_a_ext[ext_rows] = est_t[f0s[ext_rows]]
+        uv_a = np.zeros((cap, 2), np.float32)
+        uv_b = np.zeros((cap, 2), np.float32)
+        uv_a[:n_cand] = pixels[f0s, cand]
+        uv_b[:n_cand] = pixels[f1s, cand]
+
+        with _st("pnp_tri"):
             mask_in = np.zeros((win, lm_bucket), bool)
             mask_in[:w_act] = np.pad(mask_w, ((0, 0), (0, lm_pad)))
-            rs, ts = _track_window(
+            rs, ts, tri, depths = _track_and_map_window(
                 jnp.asarray(
                     np.pad(
                         np.nan_to_num(points, nan=1.0),
@@ -448,10 +488,17 @@ def run_slam(
                 k_jnp,
                 jnp.asarray(est_r[base - 1]),
                 jnp.asarray(est_t[base - 1]),
+                jnp.asarray(r_a_ext, jnp.float32),
+                jnp.asarray(t_a_ext, jnp.float32),
+                jnp.asarray(a_in_win),
+                jnp.asarray(a_idx),
+                jnp.asarray(b_idx),
+                jnp.asarray(uv_a),
+                jnp.asarray(uv_b),
                 iterations=cfg.pnp_iterations,
                 huber_delta=cfg.huber_px,
             )
-            r_h, t_h = jax.device_get((rs, ts))
+            r_h, t_h, p_tri, d_tri = jax.device_get((rs, ts, tri, depths))
         if profile is not None:
             profile.count()
 
@@ -506,46 +553,23 @@ def run_slam(
             newly = vis_eff[i_f] & (first_seen_kf < 0)
             first_seen_kf[newly] = f
 
-        # --- ONE batched triangulation for the whole window ------------
+        # --- map insertion from the fused triangulation ----------------
         # Candidate = landmark not yet in the map, first seen at f0,
         # visible again at some window frame > f0; pair (f0, last
-        # visible window frame) maximizes baseline.
-        any_vis = vis_eff.any(axis=0)
-        last_in_win = base + (w_act - 1) - np.argmax(vis_eff[::-1], axis=0)
-        cand = np.where(
-            ~lm_valid
-            & (first_seen_kf >= 0)
-            & any_vis
-            & (last_in_win > first_seen_kf)
-        )[0]
-        if len(cand) > 0:
-            f0s = first_seen_kf[cand]
-            f1s = last_in_win[cand]
-            n = len(cand)
-            cap = 1 << max(5, (n - 1).bit_length())
-            pad = cap - n
-            eye_pad = np.broadcast_to(np.eye(3), (pad, 3, 3))
-            r_a = np.concatenate([est_r[f0s], eye_pad])
-            t_a = np.pad(est_t[f0s], ((0, pad), (0, 0)))
-            r_b = np.concatenate([est_r[f1s], eye_pad])
-            t_b = np.pad(est_t[f1s], ((0, pad), (0, 0)))
-            uv_a = np.pad(pixels[f0s, cand], ((0, pad), (0, 0)))
-            uv_b = np.pad(pixels[f1s, cand], ((0, pad), (0, 0)))
-            with _st("triangulate"):
-                tri, depths = _triangulate_candidates(
-                    jnp.asarray(r_a),
-                    jnp.asarray(t_a),
-                    jnp.asarray(r_b),
-                    jnp.asarray(t_b),
-                    jnp.asarray(uv_a),
-                    jnp.asarray(uv_b),
-                    k_jnp,
-                )
-                p, depths = jax.device_get((tri, depths))  # one fetch
-            if profile is not None:
-                profile.count()
-            p = p[:n]
-            depths = depths[:n]
+        # visible window frame) maximizes baseline. Triangulated in the
+        # SAME dispatch as the PnP scan (see _track_and_map_window);
+        # here only host-side gating + bookkeeping remains.
+        if n_cand > 0:
+            p = p_tri[:n_cand]
+            depths_h = d_tri[:n_cand]
+            # Drop candidates that touched a gated frame (their device
+            # triangulation used the rejected pose), or whose preview
+            # first-seen stamp was reverted by the authoritative
+            # (gating-aware) update above.
+            ok = ~gated[f1s - base]
+            inw = np.where(a_in_win[:n_cand])[0]
+            ok[inw] &= ~gated[a_idx[inw]]
+            ok &= first_seen_kf[cand] == f0s
             # Parallax gate: rays must subtend enough angle.
             c_a = -np.einsum("nji,nj->ni", est_r[f0s], est_t[f0s])
             c_b = -np.einsum("nji,nj->ni", est_r[f1s], est_t[f1s])
@@ -556,7 +580,7 @@ def run_slam(
                 1e-9,
             )
             ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_deg))
-            good = np.all(depths > 0.1, axis=-1) & ang_ok
+            good = ok & np.all(depths_h > 0.1, axis=-1) & ang_ok
             add = cand[good]
             points[add] = p[good]
             lm_valid[add] = True
@@ -707,19 +731,44 @@ def run_slam(
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "huber_delta"))
-def _track_window(points, pix_w, mask_w, k_mat, r0, t0, iterations, huber_delta):
-    """Localize a WINDOW of frames in ONE dispatch (frozen map).
+def _track_and_map_window(
+    points,
+    pix_w,
+    mask_w,
+    k_mat,
+    r0,
+    t0,
+    r_a_ext,
+    t_a_ext,
+    a_in_win,
+    a_idx,
+    b_idx,
+    uv_a,
+    uv_b,
+    iterations,
+    huber_delta,
+):
+    """ONE dispatch per tracking window: scanned PnP + triangulation.
 
-    ``points``: (L, 3) map landmarks (invalid slots hold any finite
-    filler — masked); ``pix_w``: (W, L, 2) per-frame pixel
-    measurements; ``mask_w``: (W, L) per-frame association masks
+    PnP leg: ``points`` (L, 3) frozen map (invalid slots hold finite
+    filler — masked); ``pix_w``: (W, L, 2); ``mask_w``: (W, L)
     (visible AND in-map at window start). A ``lax.scan`` chains the
-    PnP solves so each frame initializes from the previous frame's
-    pose (the motion-model init of the per-frame loop), but the host
-    pays ONE round-trip for the whole window instead of one per frame
-    (~28 ms each through the tunneled backend — round-4 breakdown).
-    Frames with <6 associations hold the previous pose (the per-frame
-    loop's lost-tracking fallback).
+    solves so each frame initializes from the previous frame's pose;
+    frames with <6 associations hold the previous pose (the lost-
+    tracking fallback).
+
+    Triangulation leg, fused so the host pays ONE round-trip per
+    window instead of two (~28 ms each through the tunneled backend,
+    round-4 breakdown): candidate landmark pairs are selected on the
+    HOST before the dispatch (their selection needs only visibility
+    bookkeeping, not the new poses); each candidate's first-seen pose
+    comes from ``r_a_ext/t_a_ext`` when the frame precedes the window
+    (``a_in_win`` False) or from the freshly scanned window poses at
+    ``a_idx`` otherwise; the last-seen pose is always the window pose
+    at ``b_idx``. Candidates touching a frame the host-side
+    catastrophic-pose gate later rejects are DISCARDED on the host
+    after the fetch (the gate cannot run before the scan returns).
+    Returns ``(rs, ts, tri_points, tri_depths)``.
     """
 
     def step(carry, inp):
@@ -741,25 +790,20 @@ def _track_window(points, pix_w, mask_w, k_mat, r0, t0, iterations, huber_delta)
         return (r_new, t_new), (r_new, t_new)
 
     (_, _), (rs, ts) = jax.lax.scan(step, (r0, t0), (pix_w, mask_w))
-    return rs, ts
 
-
-@jax.jit
-def _triangulate_candidates(r_a, t_a, r_b, t_b, uv_a, uv_b, k_mat):
-    """Midpoint-triangulate N candidates with PER-POINT pose pairs.
-
-    ``r_a/t_a``: (N,3,3)/(N,3) pose of each candidate's first-seen
-    frame; ``r_b/t_b``: (N,3,3)/(N,3) pose of each candidate's
-    last-seen window frame. Returns ``(points (N,3), depths (N,2))``.
-    Rays are shaped (N,1,3) so :func:`geometry.triangulate_midpoint`'s
-    batch dims broadcast.
-    """
+    w = rs.shape[0]
+    a_c = jnp.clip(a_idx, 0, w - 1)
+    b_c = jnp.clip(b_idx, 0, w - 1)
+    r_a = jnp.where(a_in_win[:, None, None], rs[a_c], r_a_ext)
+    t_a = jnp.where(a_in_win[:, None], ts[a_c], t_a_ext)
+    r_b = rs[b_c]
+    t_b = ts[b_c]
     rays_a = geo.backproject(uv_a, k_mat)[:, None, :]
     rays_b = geo.backproject(uv_b, k_mat)[:, None, :]
     pts, depths = geo.triangulate_midpoint(
         r_a, t_a, r_b, t_b, rays_a, rays_b
     )
-    return pts[:, 0], depths[:, 0]
+    return rs, ts, pts[:, 0], depths[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
