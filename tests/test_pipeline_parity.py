@@ -342,3 +342,28 @@ def test_tail_pool_refine_matches_per_octave_path():
         np.testing.assert_array_equal(
             np.asarray(getattr(kp_a, f)), np.asarray(getattr(kp_b, f)), f
         )
+
+
+def test_integer_image_inputs_match_float_path():
+    """uint8/uint16 inputs convert ON DEVICE (``_as_unit_float``:
+    /255 per reference/src/image-utils.js:114, /65535 for the 16-bit
+    transport) and must produce exactly the keypoints of the
+    equivalently pre-converted float32 image — the division happens in
+    float32 either way, so the paths are bit-identical."""
+    rng = np.random.default_rng(11)
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=128)
+    for dtype, scale in ((np.uint8, 255.0), (np.uint16, 65535.0)):
+        raw = rng.integers(0, int(scale) + 1, size=(96, 128)).astype(dtype)
+        as_float = raw.astype(np.float32) / np.float32(scale)
+        kp_int, _ = frontend.detect(jnp.asarray(raw), cfg)
+        kp_float, _ = frontend.detect(jnp.asarray(as_float), cfg)
+        np.testing.assert_array_equal(
+            np.asarray(kp_int.valid), np.asarray(kp_float.valid)
+        )
+        v = np.asarray(kp_float.valid)
+        np.testing.assert_array_equal(
+            np.asarray(kp_int.abs_x)[v], np.asarray(kp_float.abs_x)[v]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kp_int.abs_y)[v], np.asarray(kp_float.abs_y)[v]
+        )
