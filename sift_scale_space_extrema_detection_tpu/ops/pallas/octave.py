@@ -65,8 +65,12 @@ from ..gaussian import gaussian_kernel_1d, kernel_radius
 # a stripe-sized temporary per unrolled tap slice (measured in round 1),
 # so the dominant term is ~max-taps × stripe bytes; outputs are double
 # buffered by the pipeline. Env-overridable for tile-height A/Bs
-# (SIFT_FUSED_VMEM_MB) — the hardware cap is ~16 MB/core.
-_VMEM_BUDGET = int(os.environ.get("SIFT_FUSED_VMEM_MB", "13")) * 1024 * 1024
+# (SIFT_FUSED_VMEM_MB) — the hardware cap is ~16 MB/core. Default 15:
+# the round-4 sliding-window scan freed enough live-set that the
+# taller stripes it admits measured pyramid 78 → 74 ms / 372 → 382 fps
+# (interleaved A/B, identical keypoints); 13 remains the fallback if a
+# larger geometry trips Mosaic's hard cap.
+_VMEM_BUDGET = int(os.environ.get("SIFT_FUSED_VMEM_MB", "15")) * 1024 * 1024
 
 # Cross-step double-buffered stripe DMA (see _octave_kernel). Module
 # global rather than a per-call arg so bench.py can flip it and
