@@ -210,6 +210,13 @@ def main() -> None:
         help="upload float32 frames instead of uint16 (A/B the upload path)",
     )
     ap.add_argument(
+        "--ba-every",
+        type=int,
+        default=1,
+        help="run windowed BA every N tracking windows "
+        "(SlamConfig.ba_every; final window always runs)",
+    )
+    ap.add_argument(
         "--trajectory",
         choices=("dolly", "loop"),
         default="dolly",
@@ -288,6 +295,7 @@ def main() -> None:
         final_ba_rounds=args.final_rounds,
         bootstrap_baseline=args.bootstrap,
         use_pose_graph=args.pose_graph,
+        ba_every=args.ba_every,
     )
     kw = dict(
         blur=args.blur,

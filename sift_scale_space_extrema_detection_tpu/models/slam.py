@@ -90,6 +90,12 @@ class SlamConfig:
     # Minimum landmark count before BA is dispatched through the
     # landmark-sharded distributed solver on a mesh (see run_slam._ba).
     dist_ba_min_landmarks: int = 4096
+    # Run the windowed BA every N tracking windows (1 = every window).
+    # Decouples BA cadence from the tracking-window length: windows
+    # stay short (fresh PnP inits, prompt triangulation) while BA —
+    # the single largest backend dispatch — runs half as often at 2.
+    # The final window always runs BA.
+    ba_every: int = 1
 
 
 @dataclasses.dataclass
@@ -593,9 +599,13 @@ def run_slam(
             obs_lm.append(add.astype(np.int64))
             obs_uv.append(pixels[add_f1, add])
 
-        # --- windowed BA (once per window) -----------------------------
+        # --- windowed BA (every ``ba_every`` windows + final window) ---
+        win_index = (base - start_f) // win
+        ba_due = (win_index % max(1, cfg.ba_every)) == (
+            max(1, cfg.ba_every) - 1
+        ) or end == num_frames
         n_obs = sum(len(a) for a in obs_cam)
-        if n_obs > 30:
+        if ba_due and n_obs > 30:
             with _st("ba_windowed"):
                 f = end - 1
                 fixed = max(1, f + 1 - cfg.ba_window)
