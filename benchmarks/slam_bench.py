@@ -233,6 +233,15 @@ def main() -> None:
         "(models/slam.py::build_tracks_from_images)",
     )
     ap.add_argument(
+        "--loop-query-stride",
+        type=int,
+        default=1,
+        metavar="Q",
+        help="query only every Q-th frame in the loop-closure pass "
+        "(merges reconnect whole track chains, so coverage loss is "
+        "small at a proportional cost cut)",
+    )
+    ap.add_argument(
         "--pose-graph",
         action="store_true",
         help="run the measured-loop-edge pose graph before the final BA "
@@ -303,6 +312,7 @@ def main() -> None:
         max_match_px=args.match_gate,
         frontend_chunk=args.chunk,
         loop_stride=args.loop_stride,
+        loop_query_stride=args.loop_query_stride,
     )
 
     # Warm-up pass over the FULL sequence: the pipeline's jit shapes

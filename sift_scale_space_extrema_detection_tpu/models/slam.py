@@ -943,6 +943,7 @@ def build_tracks_from_images(
     loop_stride: int = 0,
     loop_min_gap: int = 10,
     loop_min_matches: int = 12,
+    loop_query_stride: int = 1,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -1204,7 +1205,15 @@ def build_tracks_from_images(
     # (the default: brute-force place recognition over all old frames
     # is O(F²/stride) matches and is priced for loop-shaped sequences).
     if loop_stride > 0 and num_frames > loop_min_gap + 1:
-        qf = np.arange(loop_min_gap, num_frames, dtype=np.int32)
+        # Queries may be strided too (``loop_query_stride``): a merge
+        # landing on a queried frame reconnects its whole consecutive
+        # track chain, so skipping queries loses little closure power
+        # at a proportional cost cut (the pass is O(F²/(stride·qstride))
+        # descriptor-matrix matches).
+        qf = np.arange(
+            loop_min_gap, num_frames, max(1, loop_query_stride),
+            dtype=np.int32,
+        )
         n_cols = max(1, (num_frames - loop_min_gap + loop_stride - 1) // loop_stride)
         kf_table = np.full((len(qf), n_cols), -1, np.int32)
         for i, f in enumerate(qf):
@@ -1329,6 +1338,7 @@ def run_slam_from_images(
     profile=None,
     max_match_px: float | None = None,
     loop_stride: int = 0,
+    loop_query_stride: int = 1,
     **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
@@ -1345,6 +1355,7 @@ def run_slam_from_images(
         mesh=mesh, reassoc_window=reassoc_window, blur=blur,
         frontend_chunk=frontend_chunk, profile=profile,
         max_match_px=max_match_px, loop_stride=loop_stride,
+        loop_query_stride=loop_query_stride,
     )
     return run_slam(
         pixels, visible, k_mat, slam_cfg, mesh=mesh, profile=profile,

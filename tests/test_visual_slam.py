@@ -122,3 +122,63 @@ def test_build_tracks_short_sequence_on_mesh_matches_single_device():
     assert dist[0].shape == single[0].shape
     np.testing.assert_array_equal(dist[1], single[1])
     np.testing.assert_allclose(dist[0], single[0], atol=1e-5)
+
+
+def test_relocalization_after_blackout_via_loop_association():
+    """Kidnapped-camera recovery, emergent from loop association: the
+    camera dollies away, the view blacks out, and the camera reappears
+    near the start. Without place recognition the reappeared frames
+    hold the pre-blackout pose (wrong by the full dolly distance);
+    with ``loop_stride`` their keypoints merge into the original
+    tracks, the windowed PnP localizes them against the bootstrap-era
+    map, and the poses land near the true (start-adjacent) location."""
+    from sift_scale_space_extrema_detection_tpu.models.slam import (
+        build_tracks_from_images,
+        run_slam,
+    )
+
+    rng = np.random.default_rng(9)
+    k_mat = np.array([[260.0, 0, 160.0], [0, 260.0, 120.0], [0, 0, 1.0]])
+    pts = rng.uniform([-3.5, -1.8, 4.0], [6.0, 1.8, 9.0], size=(140, 3))
+    rpts, amps, ss = textured_blob_field(rng, pts)
+
+    xs_path = [0.0, 0.3, 0.6, 0.9, 1.2, 1.5, None, None, 0.15, 0.35]
+    imgs, gt_centers = [], []
+    for f, x in enumerate(xs_path):
+        if x is None:  # blackout
+            imgs.append(np.full((240, 320), 0.5))
+            gt_centers.append(None)
+            continue
+        r = np.eye(3)
+        t = -r @ np.array([x, 0.0, 0.0])
+        imgs.append(
+            render_blob_image(
+                rpts, r, t, k_mat, (320, 240),
+                amplitudes=amps, sigma_scales=ss,
+                rng=np.random.default_rng(100 + f),
+            )
+        )
+        gt_centers.append(np.array([x, 0.0, 0.0]))
+    images = np.stack(imgs).astype(np.float32)
+
+    sift_cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+    slam_cfg = SlamConfig(ba_interval=3, ba_window=6, bootstrap_baseline=2)
+
+    def centers(loop_stride):
+        pixels, visible, _ = build_tracks_from_images(
+            images, sift_cfg, k_mat=k_mat, reassoc_window=1,
+            loop_stride=loop_stride, loop_min_gap=3, loop_min_matches=8,
+        )
+        res = run_slam(pixels, visible, k_mat, slam_cfg)
+        return -np.einsum("nji,nj->ni", res.rotations, res.translations)
+
+    c_loop = centers(1)
+    c_none = centers(0)
+    # Monocular gauge: normalize by the estimated frame-0→5 distance so
+    # errors are in dolly-path units.
+    scale = np.linalg.norm(c_loop[5] - c_loop[0]) / 1.5
+    err_loop = np.linalg.norm(c_loop[8] / scale - gt_centers[8])
+    scale_n = np.linalg.norm(c_none[5] - c_none[0]) / 1.5
+    err_none = np.linalg.norm(c_none[8] / scale_n - gt_centers[8])
+    assert err_none > 0.7, f"blackout did not strand the pose ({err_none:.2f})"
+    assert err_loop < 0.4, f"relocalization failed ({err_loop:.2f})"
