@@ -248,6 +248,13 @@ def main() -> None:
         "(SlamConfig.use_pose_graph)",
     )
     ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="drive the ONLINE SlamSession (frame-by-frame ingest + "
+        "finalize) instead of the batch pipeline; reports per-window "
+        "provisional-pose latency alongside throughput",
+    )
+    ap.add_argument(
         "--breakdown",
         action="store_true",
         help="per-stage wall-clock attribution (syncs at stage "
@@ -314,6 +321,47 @@ def main() -> None:
         loop_stride=args.loop_stride,
         loop_query_stride=args.loop_query_stride,
     )
+
+    if args.streaming:
+        from sift_scale_space_extrema_detection_tpu.models.streaming import (
+            SlamSession,
+        )
+
+        def run_streaming():
+            sess = SlamSession(
+                k_mat, sift_cfg, slam_cfg, blur=args.blur,
+                reassoc_window=args.reassoc, max_match_px=args.match_gate,
+            )
+            lat = []
+            for im in images:
+                t1 = time.perf_counter()
+                upd = sess.add_frame(im)
+                if upd is not None:
+                    lat.append(time.perf_counter() - t1)
+            return sess.finalize(), lat
+
+        t0 = time.perf_counter()
+        run_streaming()  # compile pass
+        t_compile_pass = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        result, latencies = run_streaming()
+        dt = time.perf_counter() - t0
+        ate = evaluate_ate(result, gt_r, gt_t)
+        print(json.dumps({
+            "mode": "streaming",
+            "frames": args.frames,
+            "image": f"{w}x{h}",
+            "slam_frames_per_s": round(args.frames / dt, 2),
+            "total_s": round(dt, 2),
+            "ate": round(ate, 4),
+            "landmarks": int(result.landmark_valid.sum()),
+            "window_step_ms_median": round(
+                1e3 * float(np.median(latencies)), 1
+            ),
+            "window_step_ms_max": round(1e3 * max(latencies), 1),
+            "first_pass_s": round(t_compile_pass, 2),
+        }))
+        return
 
     # Warm-up pass over the FULL sequence: the pipeline's jit shapes
     # depend on frame count / match caps / BA buckets, so a short-prefix
