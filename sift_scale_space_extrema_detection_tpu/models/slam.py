@@ -305,12 +305,13 @@ def run_slam(
 
     resume_frame = -1
     if resume and checkpoint_dir is not None:
-        import os
+        from ..utils.checkpoint import (
+            checkpoint_exists,
+            restore_checkpoint_flat,
+        )
 
-        from ..utils.checkpoint import restore_checkpoint_flat
-
-        state_path = os.path.join(checkpoint_dir, "state")
-        if os.path.exists(state_path) or os.path.exists(state_path + ".npz"):
+        state_path = checkpoint_dir.rstrip("/") + "/state"
+        if checkpoint_exists(state_path):
             ck = restore_checkpoint_flat(state_path)
             resume_frame = int(ck["frame"])
             # Prefix assignment: the live arrays may be LARGER than at

@@ -34,7 +34,7 @@ BASELINE.json configs[3-4].
 
 from __future__ import annotations
 
-import tempfile
+import uuid
 
 import numpy as np
 import jax
@@ -91,7 +91,11 @@ class SlamSession:
         self.ransac_threshold_px = ransac_threshold_px
         self.mesh = mesh
         self.window = max(1, self.slam_cfg.ba_interval)
-        self._workdir = workdir or tempfile.mkdtemp(prefix="slam_session_")
+        # Default state store is IN-MEMORY (mem:// scheme,
+        # utils/checkpoint.py): the per-step disk checkpoint round-trip
+        # measured as pure overhead in the online step latency. Pass a
+        # real directory to survive process death mid-stream.
+        self._workdir = workdir or f"mem://slam_session_{uuid.uuid4().hex}"
 
         # First backend window starts at this frame (run_slam: 1 with a
         # wide bootstrap, else 2); step boundaries must land on the

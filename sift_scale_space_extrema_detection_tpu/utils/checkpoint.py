@@ -19,6 +19,22 @@ import numpy as np
 
 _CHECKPOINTER = None
 
+# In-memory checkpoint store for ``mem://`` paths: the streaming SLAM
+# session resumes the backend once per window, and round-4 measured the
+# per-step disk checkpoint round-trip (orbax write + read) as pure
+# overhead in the online step latency. A mem:// "directory" behaves
+# like a rolling on-disk checkpoint but lives in this process. Flat
+# dict trees only (the SLAM state is one); arrays are copied on save
+# and restore so the store can never alias live mutable state.
+_MEM_STORE: dict[str, dict] = {}
+
+
+def checkpoint_exists(path: str) -> bool:
+    """True if a checkpoint exists at ``path`` (disk or mem://)."""
+    if path.startswith("mem://"):
+        return path in _MEM_STORE
+    return os.path.exists(path) or os.path.exists(path + ".npz")
+
 
 def _orbax():
     """One cached StandardCheckpointer, or None when orbax is absent.
@@ -54,8 +70,13 @@ def save_checkpoint(path: str, tree, step: int | None = None) -> str:
     OTHER format under the same name is removed after a successful save
     so a resume can never read a stale checkpoint.
     """
-    os.makedirs(path, exist_ok=True)
     name = f"step_{step}" if step is not None else "state"
+    if path.startswith("mem://"):
+        key = path.rstrip("/") + "/" + name
+        assert isinstance(tree, dict), "mem:// checkpoints take flat dicts"
+        _MEM_STORE[key] = {k: np.array(v) for k, v in tree.items()}
+        return key
+    os.makedirs(path, exist_ok=True)
     ckpt_path = os.path.abspath(os.path.join(path, name))
     checkpointer = _orbax()
     if checkpointer is not None:
@@ -87,6 +108,8 @@ def restore_checkpoint_flat(path: str) -> dict:
     Restore errors propagate — a failed orbax restore must not be
     masked by a (likely nonexistent) npz fallback.
     """
+    if path.startswith("mem://"):
+        return {k: np.array(v) for k, v in _MEM_STORE[path].items()}
     if os.path.isdir(path):
         checkpointer = _orbax()
         if checkpointer is None:
