@@ -41,6 +41,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--match-ratio", type=float, default=0.9)
     p.add_argument("--ba-interval", type=int, default=5)
     p.add_argument(
+        "--blur", default="separable",
+        help="blur strategy (fused = whole-octave Pallas kernel, TPU)",
+    )
+    p.add_argument(
+        "--upright", action="store_true",
+        help="skip orientation assignment (video: inter-frame rotation "
+        "<< bin width; ~2x cheaper describe)",
+    )
+    p.add_argument(
+        "--match-gate", type=float, default=None, metavar="PX",
+        help="motion-prior match gate in px/frame",
+    )
+    p.add_argument(
+        "--reassoc", type=int, default=0,
+        help="window re-association depth",
+    )
+    p.add_argument(
+        "--bootstrap", type=int, default=1,
+        help="monocular init pair = frames (0, K); wider = more parallax",
+    )
+    p.add_argument(
+        "--ba-every", type=int, default=1,
+        help="windowed BA every N tracking windows",
+    )
+    p.add_argument(
+        "--loop-stride", type=int, default=0,
+        help="loop-closure data association against every S-th old frame "
+        "(0 = off; price O(F^2/stride))",
+    )
+    p.add_argument(
+        "--pose-graph", action="store_true",
+        help="measured-loop-edge pose graph before the final BA",
+    )
+    p.add_argument(
         "--no-pad",
         action="store_true",
         help="skip TPU-friendly edge padding of the frames (core/image.py)",
@@ -104,8 +138,14 @@ def main(argv=None) -> int:
         num_octaves=args.octaves,
         scales_per_octave=args.scales,
         max_keypoints_per_trio=args.capacity,
+        upright=args.upright,
     )
-    slam_cfg = SlamConfig(ba_interval=args.ba_interval)
+    slam_cfg = SlamConfig(
+        ba_interval=args.ba_interval,
+        bootstrap_baseline=args.bootstrap,
+        ba_every=args.ba_every,
+        use_pose_graph=args.pose_graph,
+    )
 
     t1 = time.perf_counter()
     result = run_slam_from_images(
@@ -114,6 +154,10 @@ def main(argv=None) -> int:
         sift_cfg,
         slam_cfg,
         match_ratio=args.match_ratio,
+        blur=args.blur,
+        reassoc_window=args.reassoc,
+        max_match_px=args.match_gate,
+        loop_stride=args.loop_stride,
     )
     t_slam = time.perf_counter() - t1
     fps = len(seq.image_paths) / t_slam
