@@ -547,10 +547,16 @@ def run_slam(
                     del recent_steps[:-12]
                 c_prev = c_new
 
+        # Lost frames (<6 mapped landmarks: pose merely held, never
+        # solved) are excluded from mapping exactly like gated ones —
+        # the round-3 per-frame loop `continue`d on them before any
+        # stamping, so they could never anchor a triangulation either.
+        excluded = gated | (counts < 6)
+
         # --- record observations of mapped landmarks (vectorized) ------
         with _st("obs_record"):
             for i_f, f in enumerate(range(base, end)):
-                if counts[i_f] < 6 or gated[i_f]:
+                if excluded[i_f]:
                     continue  # lost/rejected frame: pose held, no obs
                 ids = np.where(mask_w[i_f])[0]
                 obs_cam.append(np.full(len(ids), f, np.int64))
@@ -558,11 +564,11 @@ def run_slam(
                 obs_uv.append(pixels[f, ids])
 
         # --- first-seen bookkeeping, in frame order --------------------
-        # Gated frames are invisible to mapping: their held pose must
-        # not anchor a future triangulation (pose/pixel mismatch).
-        vis_eff = vis_w if not gated.any() else vis_w & ~gated[:, None]
+        # Gated/lost frames are invisible to mapping: their held pose
+        # must not anchor a future triangulation (pose/pixel mismatch).
+        vis_eff = vis_w if not excluded.any() else vis_w & ~excluded[:, None]
         for i_f, f in enumerate(range(base, end)):
-            if gated[i_f]:
+            if excluded[i_f]:
                 continue
             newly = vis_eff[i_f] & (first_seen_kf < 0)
             first_seen_kf[newly] = f
@@ -580,9 +586,9 @@ def run_slam(
             # triangulation used the rejected pose), or whose preview
             # first-seen stamp was reverted by the authoritative
             # (gating-aware) update above.
-            ok = ~gated[f1s - base]
+            ok = ~excluded[f1s - base]
             inw = np.where(a_in_win[:n_cand])[0]
-            ok[inw] &= ~gated[a_idx[inw]]
+            ok[inw] &= ~excluded[a_idx[inw]]
             ok &= first_seen_kf[cand] == f0s
             # Parallax gate: rays must subtend enough angle.
             c_a = -np.einsum("nji,nj->ni", est_r[f0s], est_t[f0s])
@@ -608,10 +614,17 @@ def run_slam(
             obs_uv.append(pixels[add_f1, add])
 
         # --- windowed BA (every ``ba_every`` windows + final window) ---
-        win_index = (base - start_f) // win
+        # Window index on the GLOBAL grid (first window starts at 1
+        # with a wide bootstrap, else 2) so ba_every keeps the same
+        # phase across checkpoint resumes — a streaming session resumes
+        # every window, and indexing from start_f would fire BA every
+        # step regardless of ba_every. The end-of-data window forces BA
+        # only for a true final window (not a fault-injection /
+        # streaming step, which stops mid-sequence by construction).
+        win_index = (base - (1 if kb > 1 else 2)) // win
         ba_due = (win_index % max(1, cfg.ba_every)) == (
             max(1, cfg.ba_every) - 1
-        ) or end == num_frames
+        ) or (end == num_frames and _stop_after is None)
         n_obs = sum(len(a) for a in obs_cam)
         if ba_due and n_obs > 30:
             with _st("ba_windowed"):
@@ -1300,6 +1313,8 @@ def build_tracks_from_images(
                 # matches form a smooth, tight displacement field;
                 # aliased matches scatter. Keep matches within
                 # 3×MAD (+2 px floor) of the median displacement.
+                if not keep.any():
+                    continue  # zero RANSAC inliers: no median to gate on
                 ddx = xs[f, src] - xs[kf, dst]
                 ddy = ys[f, src] - ys[kf, dst]
                 mdx, mdy = np.median(ddx[keep]), np.median(ddy[keep])

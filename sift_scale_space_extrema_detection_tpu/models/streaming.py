@@ -95,6 +95,7 @@ class SlamSession:
         # utils/checkpoint.py): the per-step disk checkpoint round-trip
         # measured as pure overhead in the online step latency. Pass a
         # real directory to survive process death mid-stream.
+        self._owns_workdir = workdir is None
         self._workdir = workdir or f"mem://slam_session_{uuid.uuid4().hex}"
 
         # First backend window starts at this frame (run_slam: 1 with a
@@ -104,8 +105,16 @@ class SlamSession:
         # tracks, ATE 0.216 vs 0.03 from phasing alone).
         self._start_f0 = 1 if self.slam_cfg.bootstrap_baseline > 1 else 2
         self._buf: list[np.ndarray] = []
-        self._desc = None  # (F, S, D) device array
-        self._valid = None  # (F, S) device array
+        # Device descriptor buffer holds only the matching horizon (the
+        # last reassoc_window+1 processed frames) plus the new window:
+        # nothing older is ever matched in streaming mode, and keeping
+        # the full history made the matcher's frame axis grow every
+        # step — one retrace/recompile per window and unbounded device
+        # memory. With the horizon buffer the dispatch shapes are
+        # constant from the second step on (one trace, reused forever).
+        self._desc = None  # (H, S, D) device array, frames >= _dev_base
+        self._valid = None  # (H, S) device array
+        self._dev_base = 0  # global frame index of _desc[0]
         self._xs = None  # (F, S) host
         self._ys = None
         self._track_of = None  # (F, S) host, -1 = untracked
@@ -138,7 +147,7 @@ class SlamSession:
         if self._frames_done < 2:
             raise ValueError("need at least 2 processed frames")
         pixels, visible = self._tracks_to_arrays()
-        return run_slam(
+        result = run_slam(
             pixels,
             visible,
             self.k_mat,
@@ -148,6 +157,15 @@ class SlamSession:
             checkpoint_interval=self.window,
             resume=True,
         )
+        if self._owns_workdir:
+            # Evict the session's rolling state from the mem:// store —
+            # without this every finished session leaks its final pose +
+            # observation buffers in a module global for the process
+            # lifetime (a user-provided workdir is the user's to keep).
+            from ..utils.checkpoint import remove_checkpoint
+
+            remove_checkpoint(self._workdir)
+        return result
 
     @property
     def frames_processed(self) -> int:
@@ -199,6 +217,7 @@ class SlamSession:
         if self._desc is None:
             self._desc = described.descriptor
             self._valid = described.valid
+            self._dev_base = 0
             self._xs, self._ys = xs_new, ys_new
             self._track_of = np.full(valid_new.shape, -1, np.int64)
             js = np.where(valid_new[0])[0][: self.max_tracks]
@@ -216,6 +235,7 @@ class SlamSession:
             start = f0
         num_frames = f0 + n_new
         xs, ys = self._xs, self._ys
+        dev_base = self._dev_base
 
         if start >= num_frames:
             self._frames_done = num_frames
@@ -225,7 +245,8 @@ class SlamSession:
         # (num_frames-2, num_frames-1): one dispatch over the slice.
         lo = start - 1
         cons_idx, cons_val = _match_consecutive(
-            self._desc[lo:num_frames], self._valid[lo:num_frames],
+            self._desc[lo - dev_base : num_frames - dev_base],
+            self._valid[lo - dev_base : num_frames - dev_base],
             self.match_ratio,
         )
         cons_idx = np.asarray(cons_idx)
@@ -292,9 +313,14 @@ class SlamSession:
                 lo_k = max(0, f - 1 - self.reassoc_window)
                 kfs = range(lo_k, f - 1)
                 kf_table[i, : len(kfs)] = list(kfs)
+            # Device-local frame indices (the buffer starts at dev_base;
+            # every reassoc keyframe is >= start-1-reassoc_window, which
+            # the horizon trim below guarantees is still resident).
+            kf_local = np.where(kf_table >= 0, kf_table - dev_base, -1)
             w_idx_all, w_val_all = _match_window_any(
-                self._desc, self._valid, jnp.asarray(qf),
-                jnp.asarray(kf_table), self.match_ratio, self.mesh,
+                self._desc, self._valid, jnp.asarray(qf - dev_base),
+                jnp.asarray(kf_local.astype(np.int32)),
+                self.match_ratio, self.mesh,
             )
             w_idx_all = np.asarray(w_idx_all)
             w_val_all = np.asarray(w_val_all)
@@ -327,11 +353,20 @@ class SlamSession:
                             ok &= dxy <= gate * gate
                         track_of[f, src[ok]] = track_of[kf, dst[ok]]
 
-            valid_f = np.asarray(self._valid[f])
+            valid_f = np.asarray(self._valid[f - dev_base])
             js = np.where(valid_f & (track_of[f] < 0))[0]
             js = js[: max(0, self.max_tracks - self._next_track)]
             track_of[f, js] = self._next_track + np.arange(len(js))
             self._next_track += len(js)
+
+        # Trim the device buffer to the matching horizon: the next step
+        # matches frames >= num_frames - 1 - reassoc_window only.
+        h = self.reassoc_window + 1
+        n_dev = num_frames - dev_base
+        if n_dev > h:
+            self._desc = self._desc[n_dev - h :]
+            self._valid = self._valid[n_dev - h :]
+            self._dev_base = num_frames - h
 
         self._frames_done = num_frames
 

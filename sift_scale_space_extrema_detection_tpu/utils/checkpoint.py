@@ -36,6 +36,28 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(path) or os.path.exists(path + ".npz")
 
 
+def remove_checkpoint(path: str) -> None:
+    """Delete the checkpoint(s) under ``path`` (mem:// prefix or disk).
+
+    A :class:`~..models.streaming.SlamSession` stores rolling state under
+    one mem:// prefix; without eviction every finished session would leak
+    its final pose/observation buffers in :data:`_MEM_STORE` for the life
+    of the process.
+    """
+    if path.startswith("mem://"):
+        prefix = path.rstrip("/") + "/"
+        for key in [
+            k for k in _MEM_STORE if k == path or k.startswith(prefix)
+        ]:
+            del _MEM_STORE[key]
+        return
+    for candidate in (path, path + ".npz", path + ".json"):
+        if os.path.isdir(candidate):
+            shutil.rmtree(candidate)
+        elif os.path.exists(candidate):
+            os.remove(candidate)
+
+
 def _orbax():
     """One cached StandardCheckpointer, or None when orbax is absent.
 
