@@ -156,6 +156,14 @@ class SiftConfig:
     # invariant; off for general matching. Only the compacted describe
     # path implements it (validated in __post_init__).
     upright: bool = False
+    # Window-DMA describe sampling (ops/pallas/describe.py): on TPU the
+    # per-slot bilinear sampling runs as one Pallas kernel that DMAs
+    # each slot's (rows × lanes) stack window HBM→VMEM and interpolates
+    # with in-kernel weight matmuls (~2.2 µs/slot vs ~27 µs for the XLA
+    # per-sample gathers, round-5 probe). Descriptors match the gather
+    # path to MXU f32-HIGHEST accumulation (tests/test_pallas_describe).
+    # Ignored off-TPU (the gather path runs everywhere).
+    window_describe: bool = True
 
     def __post_init__(self):
         if self.upright and not self.compact_describe:

@@ -31,8 +31,10 @@ from ..ops.descriptor import (
     DescribedKeypoints,
     concat_described,
     describe_compact,
+    describe_compact_batched_windowed,
     describe_octave,
 )
+from ..ops.pallas.describe import window_describe_supported
 from ..ops.dog import difference_of_gaussians
 from ..ops.extrema import (
     compact_extrema,
@@ -345,6 +347,10 @@ def detect_and_describe(
     descriptors from the octave's Gaussian stack.
     """
     image = _as_unit_float(image)
+    if image.ndim == 2 and window_describe_supported(cfg):
+        return jax.tree.map(
+            lambda a: a[0], detect_and_describe_batched(image[None], cfg, blur)
+        )
     if blur == "fused":
         scale_space, dog, masks = build_pyramid_fused(
             image, cfg, emit_scales=True, emit_masks=True,
@@ -396,10 +402,9 @@ def detect_and_describe_batched(
     have_mask = [m is not None for m in masks]
     mask_arrays = [m for m in masks if m is not None]
 
-    def one(*arrs):
-        stacks = arrs[:n]
-        dogs = arrs[n : 2 * n]
-        mask_iter = iter(arrs[2 * n :])
+    def detect_one(*arrs):
+        dogs = arrs[:n]
+        mask_iter = iter(arrs[n:])
         ms = [next(mask_iter) if hm else None for hm in have_mask]
         kps = []
         for octave, (d, m) in enumerate(zip(dogs, ms)):
@@ -413,6 +418,19 @@ def detect_and_describe_batched(
                     m, d, cfg, cfg.refine_capacity(octave)
                 )
             kps.append(refine_keypoints(d, extrema, octave, cfg))
+        return kps
+
+    if window_describe_supported(cfg):
+        # Window-DMA describe runs over ALL images' compacted slots in
+        # one Pallas dispatch — only detection vmaps per image.
+        kps_list = jax.vmap(detect_one)(*dog, *mask_arrays)
+        return describe_compact_batched_windowed(
+            list(scale_space), kps_list, cfg
+        )
+
+    def one(*arrs):
+        stacks = arrs[:n]
+        kps = detect_one(*arrs[n:])
         if cfg.compact_describe:
             return describe_compact(list(stacks), kps, cfg)
         return concat_described(

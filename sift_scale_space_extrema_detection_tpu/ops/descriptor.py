@@ -103,6 +103,46 @@ def _inbounds_mask(ys, xs, h, w):
 # ---------------------------------------------------------------------------
 
 
+def _orientation_coords(dtype, y_loc, x_loc, sigma_loc, cfg: SiftConfig):
+    """Sample coordinates of the orientation grid.
+
+    ``y_loc``/``x_loc``/``sigma_loc``: scalars or (...,) arrays.
+    Returns ``(ys, xs, d2)`` of shape ``(..., G²)`` — identical float
+    ops (and therefore bits) to the original fused core for any batch
+    shape. The grid is ALWAYS axis-aligned (outer product of one 1-D
+    ruler with itself).
+    """
+    g = cfg.orientation_grid_size
+    radius = jnp.asarray(sigma_loc, dtype) * (3.0 * cfg.lambda_ori)
+    u = jnp.linspace(-1.0, 1.0, g, dtype=dtype)
+    uy = jnp.broadcast_to(u[:, None], (g, g)).reshape(-1)  # (G²,)
+    ux = jnp.broadcast_to(u[None, :], (g, g)).reshape(-1)
+    dy = uy * radius[..., None]
+    dx = ux * radius[..., None]
+    ys = jnp.asarray(y_loc, dtype)[..., None] + dy
+    xs = jnp.asarray(x_loc, dtype)[..., None] + dx
+    return ys, xs, dy * dy + dx * dx
+
+
+def _orientation_post(
+    gy, gx, ys, xs, d2, h, w, dtype, sigma_loc, cfg: SiftConfig
+):
+    """Histogram accumulation from gradient samples (batch-shaped)."""
+    nbins = cfg.n_orientation_bins
+    radius = jnp.asarray(sigma_loc, dtype) * (3.0 * cfg.lambda_ori)
+    mag = jnp.sqrt(gy * gy + gx * gx)
+    theta = jnp.arctan2(gy, gx) % TWO_PI
+
+    sig2 = 2.0 * (cfg.lambda_ori * jnp.asarray(sigma_loc, dtype)) ** 2
+    weight = jnp.exp(-d2 / sig2[..., None]) * mag
+    weight = jnp.where(d2 <= (radius * radius)[..., None], weight, 0.0)
+    weight = jnp.where(_inbounds_mask(ys, xs, h, w), weight, 0.0)
+
+    bin_idx = jnp.floor(theta / TWO_PI * nbins).astype(jnp.int32) % nbins
+    onehot = jax.nn.one_hot(bin_idx, nbins, dtype=dtype)  # (..., G², nbins)
+    return jnp.einsum("...s,...sb->...b", weight, onehot)
+
+
 def _orientation_histogram_core(
     sample_fn, h, w, dtype, y_loc, x_loc, sigma_loc, cfg: SiftConfig
 ):
@@ -113,29 +153,11 @@ def _orientation_histogram_core(
     ``h``/``w`` are the plane dims for the interior mask (static ints or
     traced scalars).
     """
-    g = cfg.orientation_grid_size
-    nbins = cfg.n_orientation_bins
-
-    radius = 3.0 * cfg.lambda_ori * sigma_loc
-    u = jnp.linspace(-1.0, 1.0, g, dtype=dtype)
-    dy = u[:, None] * radius  # (G, 1)
-    dx = u[None, :] * radius  # (1, G)
-    ys = jnp.broadcast_to(y_loc + dy + jnp.zeros_like(dx), (g, g)).reshape(-1)
-    xs = jnp.broadcast_to(x_loc + dx + jnp.zeros_like(dy), (g, g)).reshape(-1)
-    d2 = jnp.broadcast_to(dy * dy + dx * dx, (g, g)).reshape(-1)
-
+    ys, xs, d2 = _orientation_coords(dtype, y_loc, x_loc, sigma_loc, cfg)
     gy, gx = sample_fn(ys, xs)
-    mag = jnp.sqrt(gy * gy + gx * gx)
-    theta = jnp.arctan2(gy, gx) % TWO_PI
-
-    sig2 = 2.0 * (cfg.lambda_ori * sigma_loc) ** 2
-    weight = jnp.exp(-d2 / sig2) * mag
-    weight = jnp.where(d2 <= radius * radius, weight, 0.0)
-    weight = jnp.where(_inbounds_mask(ys, xs, h, w), weight, 0.0)
-
-    bin_idx = jnp.floor(theta / TWO_PI * nbins).astype(jnp.int32) % nbins
-    onehot = jax.nn.one_hot(bin_idx, nbins, dtype=dtype)  # (G², nbins)
-    return weight @ onehot  # (nbins,)
+    return _orientation_post(
+        gy, gx, ys, xs, d2, h, w, dtype, sigma_loc, cfg
+    )
 
 
 def _orientation_histogram_one(
@@ -174,15 +196,17 @@ def _extract_peaks(hist: jax.Array, cfg: SiftConfig):
     prev = jnp.roll(hist, 1, axis=-1)
     nxt = jnp.roll(hist, -1, axis=-1)
     is_peak = (hist > prev) & (hist > nxt)
-    is_peak &= hist >= cfg.orientation_peak_ratio * jnp.max(hist, axis=-1)
+    is_peak &= hist >= cfg.orientation_peak_ratio * jnp.max(
+        hist, axis=-1, keepdims=True
+    )
 
     score = jnp.where(is_peak, hist, -jnp.inf)
     top_vals, top_idx = jax.lax.top_k(score, cfg.max_orientations_per_keypoint)
     valid = jnp.isfinite(top_vals) & (top_vals > 0.0)
 
-    hk = hist[top_idx]
-    hp = prev[top_idx]
-    hn = nxt[top_idx]
+    hk = jnp.take_along_axis(hist, top_idx, axis=-1)
+    hp = jnp.take_along_axis(prev, top_idx, axis=-1)
+    hn = jnp.take_along_axis(nxt, top_idx, axis=-1)
     denom = hp - 2.0 * hk + hn
     offset = jnp.where(
         jnp.abs(denom) > 1e-12, (hp - hn) / (2.0 * denom), 0.0
@@ -230,31 +254,40 @@ def assign_orientations(
 # ---------------------------------------------------------------------------
 
 
-def _descriptor_core(
-    sample_fn, h, w, dtype, y_loc, x_loc, sigma_loc, theta, cfg: SiftConfig
-):
-    """4×4×8 descriptor math, sampler-agnostic (see orientation core)."""
+def _descriptor_grid(dtype, cfg: SiftConfig):
+    """Keypoint-independent grid constants ``(yhat, xhat)`` of (G²,)."""
     g = cfg.descriptor_grid_size
     nh = cfg.descriptor_n_hist
-    no = cfg.descriptor_n_ori
-    lam = cfg.lambda_descr
-
     # Normalized sample coordinates x̂,ŷ ∈ [-r̂, r̂], r̂ = λ·(nh+1)/nh
     # (the (nh+1)/nh margin feeds the outer cells' bilinear support).
-    rhat = lam * (nh + 1.0) / nh
+    rhat = cfg.lambda_descr * (nh + 1.0) / nh
     u = jnp.linspace(-rhat, rhat, g, dtype=dtype)
     yhat = jnp.broadcast_to(u[:, None], (g, g)).reshape(-1)
     xhat = jnp.broadcast_to(u[None, :], (g, g)).reshape(-1)
+    return yhat, xhat
 
-    # Rotate into image frame and scale by σ_loc.
-    ct = jnp.cos(theta)
-    st = jnp.sin(theta)
-    ys = y_loc + sigma_loc * (st * xhat + ct * yhat)
-    xs = x_loc + sigma_loc * (ct * xhat - st * yhat)
 
-    gy, gx = sample_fn(ys, xs)
+def _descriptor_coords(dtype, y_loc, x_loc, sigma_loc, theta, cfg):
+    """Rotated, σ-scaled sample coordinates, batch-shaped ``(..., G²)``."""
+    yhat, xhat = _descriptor_grid(dtype, cfg)
+    ct = jnp.cos(jnp.asarray(theta, dtype))[..., None]
+    st = jnp.sin(jnp.asarray(theta, dtype))[..., None]
+    sig = jnp.asarray(sigma_loc, dtype)[..., None]
+    ys = jnp.asarray(y_loc, dtype)[..., None] + sig * (st * xhat + ct * yhat)
+    xs = jnp.asarray(x_loc, dtype)[..., None] + sig * (ct * xhat - st * yhat)
+    return ys, xs
+
+
+def _descriptor_post(gy, gx, ys, xs, h, w, dtype, theta, cfg: SiftConfig):
+    """4×4×8 histograms + normalization from gradient samples."""
+    nh = cfg.descriptor_n_hist
+    no = cfg.descriptor_n_ori
+    lam = cfg.lambda_descr
+    yhat, xhat = _descriptor_grid(dtype, cfg)
+    theta = jnp.asarray(theta, dtype)
+
     mag = jnp.sqrt(gy * gy + gx * gx)
-    ang = (jnp.arctan2(gy, gx) - theta) % TWO_PI
+    ang = (jnp.arctan2(gy, gx) - theta[..., None]) % TWO_PI
 
     d2 = yhat * yhat + xhat * xhat
     weight = jnp.exp(-d2 / (2.0 * lam * lam)) * mag
@@ -288,19 +321,34 @@ def _descriptor_core(
     b0i = b0.astype(jnp.int32) % no
     b1i = (b0i + 1) % no
     wo = (
-        jax.nn.one_hot(b0i, no, dtype=dtype) * (1.0 - fb)[:, None]
-        + jax.nn.one_hot(b1i, no, dtype=dtype) * fb[:, None]
+        jax.nn.one_hot(b0i, no, dtype=dtype) * (1.0 - fb)[..., None]
+        + jax.nn.one_hot(b1i, no, dtype=dtype) * fb[..., None]
     )
 
     desc = jnp.einsum(
-        "p,py,px,po->yxo", weight, wy, wx, wo, preferred_element_type=dtype
-    ).reshape(-1)
+        "...p,py,px,...po->...yxo",
+        weight,
+        wy,
+        wx,
+        wo,
+        preferred_element_type=dtype,
+    )
+    desc = desc.reshape(desc.shape[:-3] + (nh * nh * no,))
 
     # Normalize, clamp at 0.2·‖d‖, renormalize (Lowe/IPOL).
-    norm = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
+    norm = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12)
     desc = jnp.minimum(desc, cfg.descriptor_clip * norm)
-    norm2 = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
+    norm2 = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12)
     return desc / norm2
+
+
+def _descriptor_core(
+    sample_fn, h, w, dtype, y_loc, x_loc, sigma_loc, theta, cfg: SiftConfig
+):
+    """4×4×8 descriptor math, sampler-agnostic (see orientation core)."""
+    ys, xs = _descriptor_coords(dtype, y_loc, x_loc, sigma_loc, theta, cfg)
+    gy, gx = sample_fn(ys, xs)
+    return _descriptor_post(gy, gx, ys, xs, h, w, dtype, theta, cfg)
 
 
 def _descriptor_one(
@@ -520,6 +568,171 @@ def describe_compact(
     desc = jax.vmap(desc_one)(
         p_base, p_h, p_w, p_scale, p_yl, p_xl, p_sl, theta_pairs
     )
+
+    return DescribedKeypoints(
+        octave=p_oct,
+        scale_level=p_scale,
+        abs_y=p_y,
+        abs_x=p_x,
+        abs_sigma=p_sig,
+        theta=theta_pairs,
+        descriptor=desc.astype(jnp.float32),
+        valid=pair_valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched window-DMA describe (Pallas sampling, VERDICT r4 item 1)
+# ---------------------------------------------------------------------------
+
+
+def describe_compact_batched_windowed(
+    stacks: list[jax.Array],
+    keypoints_list: list,
+    cfg: SiftConfig,
+    interpret: bool = False,
+) -> DescribedKeypoints:
+    """:func:`describe_compact` with Pallas window-DMA sampling.
+
+    Operates on the WHOLE batch at once (``stacks[o]``: (B, S, H, W);
+    keypoint fields (B, n)) — the per-slot window kernel runs over all
+    images' compacted slots in one dispatch instead of per image under
+    vmap. Per-slot math is the refactored coords/post split of the
+    gather path's cores, so every op after sampling is shared; sampling
+    itself replaces ~105 ns/sample gathers with a ~2.2 us/slot window
+    DMA + in-kernel interp matmuls (ops/pallas/describe.py; measured
+    detect+describe 9.4 -> see BASELINE.md round 5). Descriptors agree
+    with the gather path to MXU f32-HIGHEST accumulation order
+    (tests/test_pallas_describe.py pins the tolerance).
+    """
+    from .extrema import first_k_set_indices
+    from .pallas.describe import (
+        CHUNK,
+        pad_stacks_for_windows,
+        window_geometry,
+        window_sample_pair,
+        window_starts,
+    )
+
+    b = stacks[0].shape[0]
+    s_lo = 1
+    slabs, (h_lut, w_lut) = pad_stacks_for_windows(stacks, cfg)
+    slab_shapes = [s.shape[1:] for s in slabs]
+    dtype = slabs[0].dtype
+    n_ori = cfg.max_orientations_per_keypoint
+
+    def cat(field):
+        return jnp.concatenate(
+            [getattr(k, field) for k in keypoints_list], axis=-1
+        )
+
+    all_valid = cat("valid")  # (B, total)
+    cap = cfg.describe_capacity()
+    idx, ok, _ = jax.vmap(lambda v: first_k_set_indices(v, cap))(all_valid)
+
+    def take(a):
+        return jnp.take_along_axis(a, idx, axis=-1)
+
+    oct_id = take(cat("octave"))  # (B, cap)
+    scale_lv = take(cat("scale_level"))
+    abs_y = take(cat("abs_y"))
+    abs_x = take(cat("abs_x"))
+    abs_sigma = take(cat("abs_sigma"))
+    kvalid = ok & take(all_valid)
+
+    delta = jnp.exp2((oct_id - 1).astype(dtype))
+    y_loc = abs_y / delta
+    x_loc = abs_x / delta
+    sig_loc = abs_sigma / delta
+
+    def flat(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    b_col = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, cap))
+
+    def run_stage(stage, bi, oi, si, yl, xl, sgl, ys, xs):
+        """Window-sample one stage's slots; returns (gy, gx) of (M, S)."""
+        rows, lanes = window_geometry(cfg, stage)
+        hf = h_lut[oi].astype(dtype)
+        wf = w_lut[oi].astype(dtype)
+        # EXACT plane-coordinate handling of the gather path's sampler
+        # (describe_compact): clamp y to the plane, offset by s·H, then
+        # shift by the slice start (add-then-subtract order preserves
+        # the f32 rounding bit-for-bit).
+        ys_flat = (
+            jnp.clip(ys, 0.0, (hf - 1.0)[:, None])
+            + si.astype(dtype)[:, None] * hf[:, None]
+        ) - (s_lo * 1.0) * hf[:, None]
+        xs_cl = jnp.clip(xs, 0.0, (wf - 1.0)[:, None])
+        r0, c0 = window_starts(ys_flat, xs_cl, oi, slab_shapes, rows, lanes)
+        kidx = jnp.stack([bi, oi.astype(jnp.int32), r0, c0], axis=-1)
+        ys_loc = ys_flat - r0.astype(dtype)[:, None]
+        xs_loc = xs_cl - c0.astype(dtype)[:, None]
+        m = ys.shape[0]
+        m_pad = -(-m // CHUNK) * CHUNK
+        pad = m_pad - m
+        if pad:
+            kidx = jnp.pad(kidx, ((0, pad), (0, 0)))
+            ys_loc = jnp.pad(ys_loc, ((0, pad), (0, 0)))
+            xs_loc = jnp.pad(xs_loc, ((0, pad), (0, 0)))
+        gy, gx = window_sample_pair(
+            tuple(slabs), kidx, ys_loc, xs_loc, rows, lanes,
+            interpret=interpret,
+        )
+        return gy[:m], gx[:m]
+
+    if cfg.upright:
+        theta_pairs = jnp.zeros((b, cap), dtype)
+        pair_valid = kvalid
+        p_oct, p_scale = oct_id, scale_lv
+        p_y, p_x, p_sig = abs_y, abs_x, abs_sigma
+        p_yl, p_xl, p_sl = y_loc, x_loc, sig_loc
+    else:
+        fo, fs = flat(oct_id), flat(scale_lv)
+        fyl, fxl, fsl = flat(y_loc), flat(x_loc), flat(sig_loc)
+        ys, xs, d2 = _orientation_coords(dtype, fyl, fxl, fsl, cfg)
+        gy, gx = run_stage(
+            "ori", flat(b_col), fo, fs, fyl, fxl, fsl, ys, xs
+        )
+        hist = _orientation_post(
+            gy, gx, ys, xs, d2,
+            h_lut[fo][:, None], w_lut[fo][:, None], dtype, fsl, cfg,
+        )
+        hist = _smooth_circular(hist, cfg.orientation_smooth_iterations)
+        theta, ori_valid = _extract_peaks(hist, cfg)  # (M, n_ori)
+        theta = theta.reshape(b, cap * n_ori)
+        ori_valid = ori_valid.reshape(b, cap, n_ori) & kvalid[:, :, None]
+        ori_valid = ori_valid.reshape(b, cap * n_ori)
+
+        pcap = cfg.descriptor_pair_capacity()
+        pidx, pok, _ = jax.vmap(
+            lambda v: first_k_set_indices(v, pcap)
+        )(ori_valid)
+        slot = pidx // n_ori
+
+        def ptake(a):
+            return jnp.take_along_axis(a, slot, axis=-1)
+
+        theta_pairs = jnp.take_along_axis(theta, pidx, axis=-1)
+        pair_valid = pok & jnp.take_along_axis(ori_valid, pidx, axis=-1)
+        p_oct, p_scale = ptake(oct_id), ptake(scale_lv)
+        p_y, p_x, p_sig = ptake(abs_y), ptake(abs_x), ptake(abs_sigma)
+        p_yl, p_xl, p_sl = ptake(y_loc), ptake(x_loc), ptake(sig_loc)
+
+    pcap_eff = p_oct.shape[1]
+    b_col_p = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, pcap_eff)
+    )
+    fo, fs = flat(p_oct), flat(p_scale)
+    fyl, fxl, fsl = flat(p_yl), flat(p_xl), flat(p_sl)
+    fth = flat(theta_pairs)
+    ys, xs = _descriptor_coords(dtype, fyl, fxl, fsl, fth, cfg)
+    gy, gx = run_stage("desc", flat(b_col_p), fo, fs, fyl, fxl, fsl, ys, xs)
+    desc = _descriptor_post(
+        gy, gx, ys, xs,
+        h_lut[fo][:, None], w_lut[fo][:, None], dtype, fth, cfg,
+    )
+    desc = desc.reshape(b, pcap_eff, -1)
 
     return DescribedKeypoints(
         octave=p_oct,
