@@ -77,6 +77,100 @@ def render_loop_sequence(rng, num_frames, w, h):
     return np.stack(imgs), np.stack(rots), np.stack(ts), k_mat
 
 
+def render_orbit_sequence(rng, num_frames, w, h):
+    """Orbit-lite: slow arc around the blob field's center.
+
+    ~1.3°/frame of viewpoint change with the camera re-aimed at the
+    field center each frame — rotation + translation coupling without
+    the 9°/frame viewpoint slew of the rejected full orbit (which
+    measured descriptor invariance, not tracking; see
+    render_loop_sequence's note).
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    from sift_scale_space_extrema_detection_tpu.utils.synthetic import (
+        render_blob_image,
+        textured_blob_field,
+    )
+
+    k_mat = np.array(
+        [[260.0 * w / 320, 0, w / 2], [0, 260.0 * w / 320, h / 2], [0, 0, 1.0]]
+    )
+    target = np.array([0.0, 0.0, 6.5])
+    pts = rng.uniform([-3.0, -1.8, 4.0], [3.0, 1.8, 9.0], size=(220, 3))
+    rpts, amps, ss = textured_blob_field(rng, pts)
+
+    def look_at(center):
+        fwd = target - center
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        return np.stack([right, up, fwd])  # world→camera rows
+
+    rots, ts, imgs = [], [], []
+    radius = 6.5
+    for f in range(num_frames):
+        ang = 0.022 * f  # rad; lateral step ≈ 0.14 (the dolly's speed)
+        center = target + radius * np.array(
+            [np.sin(ang), 0.02 * np.sin(0.3 * f), -np.cos(ang)]
+        )
+        r = look_at(center)
+        t = -r @ center
+        imgs.append(
+            render_blob_image(
+                rpts, r, t, k_mat, (w, h),
+                amplitudes=amps, sigma_scales=ss,
+                rng=np.random.default_rng(100 + f),
+            )
+        )
+        rots.append(r)
+        ts.append(t)
+    return np.stack(imgs), np.stack(rots), np.stack(ts), k_mat
+
+
+def render_zigzag_sequence(rng, num_frames, w, h):
+    """Zigzag dolly: forward advance with alternating lateral sweeps.
+
+    Direction reversals exercise the motion-prior gate and the PnP
+    motion-model init (velocity flips sign every ~8 frames)."""
+    import jax.numpy as jnp
+
+    from sift_scale_space_extrema_detection_tpu.sfm import geometry as geo
+    from sift_scale_space_extrema_detection_tpu.utils.synthetic import (
+        render_blob_image,
+        textured_blob_field,
+    )
+
+    k_mat = np.array(
+        [[260.0 * w / 320, 0, w / 2], [0, 260.0 * w / 320, h / 2], [0, 0, 1.0]]
+    )
+    x_hi = 3.5 + 0.1 * num_frames
+    n_pts = int(160 * (x_hi + 3.5) / 7.0)
+    pts = rng.uniform([-3.5, -1.8, 4.0], [x_hi, 1.8, 9.0], size=(n_pts, 3))
+    rpts, amps, ss = textured_blob_field(rng, pts)
+
+    rots, ts, imgs = [], [], []
+    for f in range(num_frames):
+        r = np.asarray(
+            geo.so3_exp(jnp.asarray([0.0, 0.015 * np.sin(0.4 * f), 0.0]))
+        )
+        center = np.array(
+            [0.1 * f, 0.35 * np.sin(0.75 * f), 0.25 * np.sin(0.35 * f)]
+        )
+        t = -r @ center
+        imgs.append(
+            render_blob_image(
+                rpts, r, t, k_mat, (w, h),
+                amplitudes=amps, sigma_scales=ss,
+                rng=np.random.default_rng(100 + f),
+            )
+        )
+        rots.append(r)
+        ts.append(t)
+    return np.stack(imgs), np.stack(rots), np.stack(ts), k_mat
+
+
 def render_sequence(rng, num_frames, w, h):
     import jax.numpy as jnp
 
@@ -218,10 +312,24 @@ def main() -> None:
     )
     ap.add_argument(
         "--trajectory",
-        choices=("dolly", "loop"),
+        choices=("dolly", "loop", "orbit", "zigzag"),
         default="dolly",
         help="dolly = lateral translation (throughput headline); "
-        "loop = closed orbit around the field (loop-closure bench)",
+        "loop = out-and-back (loop-closure bench); orbit = slow arc "
+        "with look-at rotation; zigzag = alternating lateral sweeps",
+    )
+    ap.add_argument(
+        "--suite",
+        action="store_true",
+        help="robustness matrix: every trajectory shape x --seeds "
+        "seeds with the current knob set; per-run rows + "
+        "median/worst summary (VERDICT r4 item 3)",
+    )
+    ap.add_argument(
+        "--seeds",
+        type=int,
+        default=5,
+        help="seeds per trajectory shape in --suite mode",
     )
     ap.add_argument(
         "--loop-stride",
@@ -255,6 +363,12 @@ def main() -> None:
         "provisional-pose latency alongside throughput",
     )
     ap.add_argument(
+        "--no-window-describe",
+        action="store_true",
+        help="disable the Pallas window-DMA describe sampling "
+        "(SiftConfig.window_describe) — A/B isolation",
+    )
+    ap.add_argument(
         "--breakdown",
         action="store_true",
         help="per-stage wall-clock attribution (syncs at stage "
@@ -277,11 +391,15 @@ def main() -> None:
         run_slam_from_images,
     )
 
+    renders = {
+        "dolly": render_sequence,
+        "loop": render_loop_sequence,
+        "orbit": render_orbit_sequence,
+        "zigzag": render_zigzag_sequence,
+    }
     rng = np.random.default_rng(0)
     t_render = time.perf_counter()
-    render = (
-        render_loop_sequence if args.trajectory == "loop" else render_sequence
-    )
+    render = renders[args.trajectory]
     images, gt_r, gt_t, k_mat = render(rng, args.frames, w, h)
     t_render = time.perf_counter() - t_render
     if not args.f32_upload:
@@ -296,6 +414,7 @@ def main() -> None:
     kw_cfg = dict(
         num_octaves=3,
         max_keypoints_per_trio=256,
+        window_describe=not args.no_window_describe,
         upright=args.upright,
         describe_compaction=args.describe_compaction,
         descriptor_grid_size=args.desc_grid,
@@ -321,6 +440,58 @@ def main() -> None:
         loop_stride=args.loop_stride,
         loop_query_stride=args.loop_query_stride,
     )
+
+    if args.suite:
+        # Robustness matrix (VERDICT r4 item 3): the single-sequence ATE
+        # is a point sample of a chaotic quantity (round-5 repro: the
+        # SAME code+flags that recorded 0.053 in round 4 measures 0.87
+        # today) — knobs are validated against the median/worst over
+        # shapes x seeds, never one run. First row per shape carries
+        # compile time in its fps; the medians absorb it.
+        rows = []
+        for shape, rfn in renders.items():
+            for seed in range(args.seeds):
+                imgs_s, gr, gtt, km = rfn(
+                    np.random.default_rng(seed), args.frames, w, h
+                )
+                if not args.f32_upload:
+                    imgs_s = np.round(
+                        np.clip(imgs_s, 0.0, 1.0) * 65535.0
+                    ).astype(np.uint16)
+                t0 = time.perf_counter()
+                res = run_slam_from_images(
+                    imgs_s, km, sift_cfg, slam_cfg, **kw
+                )
+                dtr = time.perf_counter() - t0
+                ate = evaluate_ate(res, gr, gtt)
+                row = {
+                    "shape": shape,
+                    "seed": seed,
+                    "ate": round(float(ate), 4),
+                    "fps": round(args.frames / dtr, 2),
+                    "lm": int(res.landmark_valid.sum()),
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        summary = {}
+        for shape in renders:
+            ates = [r["ate"] for r in rows if r["shape"] == shape]
+            fpss = [r["fps"] for r in rows if r["shape"] == shape]
+            summary[shape] = {
+                "ate_median": round(float(np.median(ates)), 4),
+                "ate_worst": round(max(ates), 4),
+                "fps_median": round(float(np.median(fpss)), 2),
+            }
+        all_ates = [r["ate"] for r in rows]
+        print(json.dumps({
+            "suite": summary,
+            "frames": args.frames,
+            "image": f"{w}x{h}",
+            "seeds": args.seeds,
+            "ate_median_all": round(float(np.median(all_ates)), 4),
+            "ate_worst_all": round(max(all_ates), 4),
+        }))
+        return
 
     if args.streaming:
         from sift_scale_space_extrema_detection_tpu.models.streaming import (
