@@ -350,6 +350,15 @@ def main() -> None:
         "small at a proportional cost cut)",
     )
     ap.add_argument(
+        "--loop-topk",
+        type=int,
+        default=8,
+        metavar="K",
+        help="sketch-based place-recognition prune: full descriptor "
+        "matching only for each query's K most similar candidates "
+        "(one FxF pooled-sketch matmul ranks pairs); 0 = brute force",
+    )
+    ap.add_argument(
         "--pose-graph",
         action="store_true",
         help="run the measured-loop-edge pose graph before the final BA "
@@ -439,6 +448,7 @@ def main() -> None:
         frontend_chunk=args.chunk,
         loop_stride=args.loop_stride,
         loop_query_stride=args.loop_query_stride,
+        loop_topk=args.loop_topk,
     )
 
     if args.suite:

@@ -881,6 +881,26 @@ def _verify_pairs(uv1, uv2, mask, k_mat, keys, thr, num_hypotheses):
     return jax.vmap(one)(uv1, uv2, mask, keys)
 
 
+@jax.jit
+def _frame_sketches(desc, valid):
+    """One L2-normalized 128-D place-recognition sketch per frame.
+
+    Mean of the frame's valid (already L2-ish normalized) descriptors,
+    renormalized — the classic pooled-descriptor global image vector.
+    Cosine similarity between sketches ranks frame pairs for loop
+    closure at one (F, 128)·(128, F) MXU matmul instead of F²/stride
+    full S×S descriptor-matrix matches (green-field; the reference has
+    no descriptors at all, reference/readme.md:11).
+    """
+    d = desc * valid[..., None]
+    s = d.sum(axis=1) / jnp.maximum(
+        valid.sum(axis=1, keepdims=True).astype(desc.dtype), 1.0
+    )
+    return s / jnp.maximum(
+        jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-9
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("ratio",))
 def _match_window(desc, valid, query_f, kf_table, ratio):
     """Window re-association matches for ALL frames in one dispatch.
@@ -965,6 +985,7 @@ def build_tracks_from_images(
     loop_min_gap: int = 10,
     loop_min_matches: int = 12,
     loop_query_stride: int = 1,
+    loop_topk: int = 8,
 ):
     """Frontend + sequential descriptor matching → landmark tracks.
 
@@ -1235,11 +1256,36 @@ def build_tracks_from_images(
             loop_min_gap, num_frames, max(1, loop_query_stride),
             dtype=np.int32,
         )
-        n_cols = max(1, (num_frames - loop_min_gap + loop_stride - 1) // loop_stride)
+        n_full = max(1, (num_frames - loop_min_gap + loop_stride - 1) // loop_stride)
+        # Compact place recognition (VERDICT r4 item 5): one 128-D
+        # sketch per frame (L2-normalized mean of its valid L2-ish
+        # descriptors) and ONE (F, F) cosine-similarity matmul on the
+        # MXU rank every (query, old-frame) pair; only each query's
+        # ``loop_topk`` most similar strided candidates get the
+        # expensive full descriptor-matrix match. Brute force is
+        # O(F²/stride) S×S matrix matches; the sketch pass caps it at
+        # O(F·topk) — the prune that makes 200+-frame loop sequences
+        # tractable. ``loop_topk=0`` restores brute force.
+        n_cols = n_full if loop_topk <= 0 else min(n_full, loop_topk)
+        sim = None
+        if 0 < loop_topk < n_full:
+            with _st("loop_sketch"):
+                sk = _frame_sketches(d_all, v_all)
+                sim = np.asarray(
+                    jnp.einsum(
+                        "fd,gd->fg", sk, sk,
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            if profile is not None:
+                profile.count()
         kf_table = np.full((len(qf), n_cols), -1, np.int32)
         for i, f in enumerate(qf):
-            cands = list(range(0, f - loop_min_gap + 1, loop_stride))
-            kf_table[i, : len(cands)] = cands[:n_cols]
+            cands = np.arange(0, f - loop_min_gap + 1, loop_stride)
+            if sim is not None and len(cands) > n_cols:
+                order = np.argsort(-sim[f, cands], kind="stable")[:n_cols]
+                cands = np.sort(cands[order])
+            kf_table[i, : min(len(cands), n_cols)] = cands[:n_cols]
         with _st("loop_match"):
             l_idx, l_val = _match_window_any(
                 d_all, v_all, jnp.asarray(qf), jnp.asarray(kf_table),
@@ -1362,6 +1408,7 @@ def run_slam_from_images(
     max_match_px: float | None = None,
     loop_stride: int = 0,
     loop_query_stride: int = 1,
+    loop_topk: int = 8,
     **slam_kwargs,
 ) -> SlamResult:
     """Full visual SLAM: pixels in → trajectory + map out.
@@ -1378,7 +1425,7 @@ def run_slam_from_images(
         mesh=mesh, reassoc_window=reassoc_window, blur=blur,
         frontend_chunk=frontend_chunk, profile=profile,
         max_match_px=max_match_px, loop_stride=loop_stride,
-        loop_query_stride=loop_query_stride,
+        loop_query_stride=loop_query_stride, loop_topk=loop_topk,
     )
     return run_slam(
         pixels, visible, k_mat, slam_cfg, mesh=mesh, profile=profile,

@@ -303,3 +303,45 @@ def test_loop_closure_association_merges_tracks():
     merged = (vis_on[0] & vis_on[4]).sum()
     assert merged >= 8, f"only {merged} merged tracks"
     assert vis_on.shape[1] < vis_off.shape[1]  # union-find compacted
+
+
+def test_loop_closure_sketch_prune_still_merges():
+    """Top-K sketch pruning (loop_topk) must keep the true revisit pair.
+
+    11 frames: texture A at frame 0, eight DIFFERENT distractor
+    textures, texture A again (shifted) at frame 10. With loop_topk=2
+    only 2 of the 8 eligible candidates per query get full descriptor
+    matching — the pooled-sketch similarity must rank frame 0 into
+    that top-2 for query 10, or the merge is lost."""
+    from sift_scale_space_extrema_detection_tpu import SiftConfig
+    from sift_scale_space_extrema_detection_tpu.models.slam import (
+        build_tracks_from_images,
+    )
+    from sift_scale_space_extrema_detection_tpu.ops.gaussian import (
+        blur_separable,
+    )
+
+    rng = np.random.default_rng(11)
+    tex = np.asarray(blur_separable(jnp.asarray(rng.random((200, 200))), 1.2))
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    img0 = tex[4:164, 6:166]
+    img_last = tex[0:160, 0:160]
+    frames = [img0]
+    for k in range(9):
+        d = np.asarray(
+            blur_separable(jnp.asarray(rng.random((160, 160))), 2.0)
+        )
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-9)
+        frames.append(d)
+    frames.append(img_last)
+    images = np.stack(frames).astype(np.float32)
+    k_mat = np.array([[200.0, 0, 80.0], [0, 200.0, 80.0], [0, 0, 1.0]])
+
+    cfg = SiftConfig(num_octaves=2, max_keypoints_per_trio=256)
+    kw = dict(k_mat=k_mat, reassoc_window=0, loop_min_gap=3,
+              loop_min_matches=8, loop_stride=1)
+    _, vis_pruned, _ = build_tracks_from_images(
+        images, cfg, loop_topk=2, **kw
+    )
+    merged = (vis_pruned[0] & vis_pruned[10]).sum()
+    assert merged >= 8, f"only {merged} merged tracks with topk=2"
