@@ -221,14 +221,16 @@ def test_streaming_session_matches_batch():
     result = sess.finalize()
     assert sess.frames_processed == 10
     ate_stream = evaluate_ate(result, gt_r, gt_t)
-    # The two paths build IDENTICAL tracks (verified in development)
-    # and differ only in landmark-axis pow2 buckets per resume, whose
-    # reduction-order noise this sequence amplifies by up to ~0.08 ATE
-    # (measured by re-running the batch backend with padded landmark
-    # columns: 0.250 at buckets 680-1024, 0.186 at 1680). Deterministic
-    # on CPU, so these bounds are stable.
+    # The two paths build IDENTICAL tracks, and since the round-5
+    # ba_every fix pinned the windowed-BA cadence to the GLOBAL window
+    # grid (models/slam.py: win_index from the grid origin, final BA
+    # only at the true final window), the backend runs the same
+    # programs in the same order — measured gap 0.0000 on this
+    # sequence. The 0.02 headroom covers landmark-axis pow2-bucket
+    # reduction-order noise on intermediate windows (streaming grows
+    # its track capacity per resume; the round-4 bound was 0.15).
     assert ate_stream < 0.35, f"stream ATE {ate_stream:.4f}"
     assert ate_batch < 0.35, f"batch ATE {ate_batch:.4f}"
-    assert abs(ate_stream - ate_batch) < 0.15, (
+    assert abs(ate_stream - ate_batch) < 0.02, (
         f"stream {ate_stream:.4f} vs batch {ate_batch:.4f}"
     )
