@@ -17,12 +17,32 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import numpy as np
+
+_RENDER_CACHE_DIR = os.environ.get(
+    "SLAM_BENCH_RENDER_CACHE", "/tmp/slam_render_cache"
+)
+
+
+def _cached_render(fn, shape_name, seed, num_frames, w, h):
+    """Disk-cache rendered sequences (host rendering is ~14 s each)."""
+    import os as _os
+
+    key = f"{shape_name}_s{seed}_f{num_frames}_{w}x{h}.npz"
+    path = _os.path.join(_RENDER_CACHE_DIR, key)
+    if _os.path.exists(path):
+        d = np.load(path)
+        return d["images"], d["gt_r"], d["gt_t"], d["k_mat"]
+    out = fn(np.random.default_rng(seed), num_frames, w, h)
+    _os.makedirs(_RENDER_CACHE_DIR, exist_ok=True)
+    np.savez(path, images=out[0], gt_r=out[1], gt_t=out[2], k_mat=out[3])
+    return out
 
 
 def render_loop_sequence(rng, num_frames, w, h):
@@ -406,10 +426,11 @@ def main() -> None:
         "orbit": render_orbit_sequence,
         "zigzag": render_zigzag_sequence,
     }
-    rng = np.random.default_rng(0)
     t_render = time.perf_counter()
     render = renders[args.trajectory]
-    images, gt_r, gt_t, k_mat = render(rng, args.frames, w, h)
+    images, gt_r, gt_t, k_mat = _cached_render(
+        render, args.trajectory, 0, args.frames, w, h
+    )
     t_render = time.perf_counter() - t_render
     if not args.f32_upload:
         # Ship uint16 frames (device converts /65535 — see
@@ -461,8 +482,8 @@ def main() -> None:
         rows = []
         for shape, rfn in renders.items():
             for seed in range(args.seeds):
-                imgs_s, gr, gtt, km = rfn(
-                    np.random.default_rng(seed), args.frames, w, h
+                imgs_s, gr, gtt, km = _cached_render(
+                    rfn, shape, seed, args.frames, w, h
                 )
                 if not args.f32_upload:
                     imgs_s = np.round(
