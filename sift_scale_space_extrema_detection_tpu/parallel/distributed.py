@@ -66,15 +66,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
 def detect_and_describe_data_parallel(
     images: jax.Array, cfg: SiftConfig, mesh: Mesh, blur: str = "separable"
 ):
-    """Batched frontend with the batch axis sharded over the mesh."""
+    """Batched frontend with the batch axis sharded over the mesh.
+
+    Runs through ``shard_map`` (not jit+in_shardings): each device
+    executes the WHOLE per-shard program — including the window-DMA
+    describe ``pallas_call`` (ops/pallas/describe.py), which the SPMD
+    partitioner cannot split — on its local batch slice. DP frontend
+    has no cross-shard communication, so the semantics are identical.
+    """
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis))
     images = jax.device_put(images, sharding)
-    fn = jax.jit(
+    fn = shard_map(
         functools.partial(detect_and_describe_batched, cfg=cfg, blur=blur),
-        in_shardings=sharding,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+        check_vma=False,
     )
-    return fn(images)
+    return jax.jit(fn)(images)
 
 
 def match_against_keyframes_sharded(
