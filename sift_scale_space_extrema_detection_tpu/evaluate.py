@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="windowed BA every N tracking windows",
     )
     p.add_argument(
+        "--loop-topk", type=int, default=8,
+        help="place-recognition prune: full matching only for each "
+        "query's K most sketch-similar candidates (0 = brute force)",
+    )
+    p.add_argument(
         "--loop-stride", type=int, default=0,
         help="loop-closure data association against every S-th old frame "
         "(0 = off; price O(F^2/stride))",
@@ -158,6 +163,7 @@ def main(argv=None) -> int:
         reassoc_window=args.reassoc,
         max_match_px=args.match_gate,
         loop_stride=args.loop_stride,
+        loop_topk=args.loop_topk,
     )
     t_slam = time.perf_counter() - t1
     fps = len(seq.image_paths) / t_slam
