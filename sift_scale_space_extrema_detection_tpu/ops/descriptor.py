@@ -650,7 +650,7 @@ def describe_compact_batched_windowed(
 
     b_col = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, cap))
 
-    def run_stage(stage, bi, oi, si, yl, xl, sgl, ys, xs):
+    def run_stage(stage, bi, oi, si, yl, xl, sgl, ys, xs, vmask):
         """Window-sample one stage's slots; returns (gy, gx) of (M, S)."""
         rows, lanes = window_geometry(cfg, stage)
         hf = h_lut[oi].astype(dtype)
@@ -665,7 +665,10 @@ def describe_compact_batched_windowed(
         ) - (s_lo * 1.0) * hf[:, None]
         xs_cl = jnp.clip(xs, 0.0, (wf - 1.0)[:, None])
         r0, c0 = window_starts(ys_flat, xs_cl, oi, slab_shapes, rows, lanes)
-        kidx = jnp.stack([bi, oi.astype(jnp.int32), r0, c0], axis=-1)
+        kidx = jnp.stack(
+            [bi, oi.astype(jnp.int32), r0, c0, vmask.astype(jnp.int32)],
+            axis=-1,
+        )
         ys_loc = ys_flat - r0.astype(dtype)[:, None]
         xs_loc = xs_cl - c0.astype(dtype)[:, None]
         m = ys.shape[0]
@@ -692,7 +695,7 @@ def describe_compact_batched_windowed(
         fyl, fxl, fsl = flat(y_loc), flat(x_loc), flat(sig_loc)
         ys, xs, d2 = _orientation_coords(dtype, fyl, fxl, fsl, cfg)
         gy, gx = run_stage(
-            "ori", flat(b_col), fo, fs, fyl, fxl, fsl, ys, xs
+            "ori", flat(b_col), fo, fs, fyl, fxl, fsl, ys, xs, flat(kvalid)
         )
         hist = _orientation_post(
             gy, gx, ys, xs, d2,
@@ -727,7 +730,10 @@ def describe_compact_batched_windowed(
     fyl, fxl, fsl = flat(p_yl), flat(p_xl), flat(p_sl)
     fth = flat(theta_pairs)
     ys, xs = _descriptor_coords(dtype, fyl, fxl, fsl, fth, cfg)
-    gy, gx = run_stage("desc", flat(b_col_p), fo, fs, fyl, fxl, fsl, ys, xs)
+    gy, gx = run_stage(
+        "desc", flat(b_col_p), fo, fs, fyl, fxl, fsl, ys, xs,
+        flat(pair_valid),
+    )
     desc = _descriptor_post(
         gy, gx, ys, xs,
         h_lut[fo][:, None], w_lut[fo][:, None], dtype, fth, cfg,

@@ -154,17 +154,22 @@ def _make_kernel(n_oct: int, rows: int, lanes: int, n_samples: int):
                 sems.at[slot],
             )
 
+        # Invalid slots (idx col 4 == 0) issue no DMA and run no math
+        # — valid keypoints are compacted to the front of each image's
+        # block, so at typical ~35-55 % occupancy this skips roughly
+        # half the slots' traffic. The start/wait guards read the SAME
+        # flag, so a wait can never block on an unissued copy.
         def start(slot, i):
             oct_id = idx_ref[i, 1]
             for k in range(n_oct):
-                @pl.when(oct_id == k)
+                @pl.when((oct_id == k) & (idx_ref[i, 4] != 0))
                 def _():
                     get_dma(slot, i, k).start()
 
         def wait(slot, i):
             oct_id = idx_ref[i, 1]
             for k in range(n_oct):
-                @pl.when(oct_id == k)
+                @pl.when((oct_id == k) & (idx_ref[i, 4] != 0))
                 def _():
                     get_dma(slot, i, k).wait()
 
@@ -178,6 +183,19 @@ def _make_kernel(n_oct: int, rows: int, lanes: int, n_samples: int):
                 start((i + 1) % 2, i + 1)
 
             wait(slot, i)
+
+            @pl.when(idx_ref[i, 4] == 0)
+            def _():
+                out_ref[pl.ds(i, 1), :] = jnp.zeros(
+                    (1, 2 * n_samples), jnp.float32
+                )
+
+            @pl.when(idx_ref[i, 4] != 0)
+            def _():
+                compute(slot, i)
+            return carry
+
+        def compute(slot, i):
             win = scratch[slot]  # (rows, lanes)
             zr = jnp.zeros((1, lanes), jnp.float32)
             gy = jnp.concatenate(
@@ -207,7 +225,6 @@ def _make_kernel(n_oct: int, rows: int, lanes: int, n_samples: int):
             gys = jnp.sum(t2[:lanes, :] * wxt, axis=0, keepdims=True)
             gxs = jnp.sum(t2[lanes:, :] * wxt, axis=0, keepdims=True)
             out_ref[pl.ds(i, 1), :] = jnp.concatenate([gys, gxs], axis=1)
-            return carry
 
         jax.lax.fori_loop(0, CHUNK, body, 0)
 
@@ -229,8 +246,10 @@ def window_sample_pair(
     """Bilinear (gy, gx) samples of all slots via per-slot window DMA.
 
     ``slabs``: per-octave (B, SHp, Wp) padded stacks
-    (:func:`pad_stacks_for_windows`); ``idx``: (M, 4) int32
-    [batch, octave, r0, c0]; ``ys_loc``/``xs_loc``: (M, S) f32 sample
+    (:func:`pad_stacks_for_windows`); ``idx``: (M, 5) int32
+    [batch, octave, r0, c0, valid]; invalid slots (valid == 0) are
+    skipped entirely (no DMA, zero output). ``ys_loc``/``xs_loc``:
+    (M, S) f32 sample
     coords LOCAL to each slot's window (plane coords minus r0/c0 —
     exact integer subtraction). M must be a CHUNK multiple (pad slots
     arbitrarily; their outputs are garbage). Returns (gy, gx) of
@@ -243,7 +262,7 @@ def window_sample_pair(
         _make_kernel(n_oct, rows, lanes, s),
         grid=(m // CHUNK,),
         in_specs=[
-            pl.BlockSpec((CHUNK, 4), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK, 5), lambda g: (g, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((CHUNK, s), lambda g: (g, 0)),
             pl.BlockSpec((CHUNK, s), lambda g: (g, 0)),
         ]
