@@ -651,8 +651,17 @@ def describe_compact_batched_windowed(
     b_col = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, cap))
 
     def run_stage(stage, bi, oi, si, yl, xl, sgl, ys, xs, vmask):
-        """Window-sample one stage's slots; returns (gy, gx) of (M, S)."""
+        """Window-sample one stage's slots; returns (gy, gx) of (M, S).
+
+        The orientation grid is always an axis-aligned outer product;
+        the descriptor grid is one too when upright (θ=0 exactly, and
+        0·x̂ / −0 additions are bit-transparent) — both take the
+        kernel's separable fast path (grid > 0)."""
         rows, lanes = window_geometry(cfg, stage)
+        if stage == "ori":
+            grid = cfg.orientation_grid_size
+        else:
+            grid = cfg.descriptor_grid_size if cfg.upright else 0
         hf = h_lut[oi].astype(dtype)
         wf = w_lut[oi].astype(dtype)
         # EXACT plane-coordinate handling of the gather path's sampler
@@ -680,7 +689,7 @@ def describe_compact_batched_windowed(
             xs_loc = jnp.pad(xs_loc, ((0, pad), (0, 0)))
         gy, gx = window_sample_pair(
             tuple(slabs), kidx, ys_loc, xs_loc, rows, lanes,
-            interpret=interpret,
+            grid=grid, interpret=interpret,
         )
         return gy[:m], gx[:m]
 

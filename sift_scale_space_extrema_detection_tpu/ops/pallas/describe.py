@@ -138,7 +138,17 @@ def window_starts(ys, xs, oct_id, slabs_shapes, rows: int, lanes: int):
     return r0, c0
 
 
-def _make_kernel(n_oct: int, rows: int, lanes: int, n_samples: int):
+def _make_kernel(
+    n_oct: int, rows: int, lanes: int, n_samples: int, grid: int
+):
+    """``grid > 0`` enables the separable fast path: the sample grid is
+    an axis-aligned (grid x grid) outer product (orientation stage
+    always; descriptor stage when upright), so the y-interp matmul
+    contracts against only ``grid`` distinct rows instead of
+    ``n_samples`` (16x fewer MXU FLOPs); the per-sample layout is
+    recovered with an element repeat (rows) and a tile (cols). The
+    weights are bitwise the ones the general path builds, just not
+    duplicated before the contraction."""
     def kernel(idx_ref, ys_ref, xs_ref, *rest):
         stacks = rest[:n_oct]
         out_ref = rest[n_oct]
@@ -209,19 +219,57 @@ def _make_kernel(n_oct: int, rows: int, lanes: int, n_samples: int):
 
             ys = ys_ref[pl.ds(i, 1), :]  # (1, S) window-local
             xs = xs_ref[pl.ds(i, 1), :]
-            rr = jax.lax.broadcasted_iota(
-                jnp.int32, (n_samples, rows), 1
-            ).astype(jnp.float32)
-            wy = jnp.maximum(1.0 - jnp.abs(ys.reshape(n_samples, 1) - rr), 0.0)
-            # (2*lanes, S): per-lane y-interpolated gy|gx columns.
-            t2 = jax.lax.dot_general(
-                g2, wy, (((0,), (1,)), ((), ())),
-                precision=HIGHEST, preferred_element_type=jnp.float32,
-            )
-            cc = jax.lax.broadcasted_iota(
-                jnp.int32, (lanes, n_samples), 0
-            ).astype(jnp.float32)
-            wxt = jnp.maximum(1.0 - jnp.abs(xs - cc), 0.0)
+            if grid > 0:
+                # Axis-aligned grid: row coords repeat in blocks of
+                # ``grid`` (sample s = (i, j) has y = y_i, x = x_j).
+                ysg = ys[:, :: grid]  # (1, grid) distinct row coords
+                rr = jax.lax.broadcasted_iota(
+                    jnp.int32, (grid, rows), 1
+                ).astype(jnp.float32)
+                wyg = jnp.maximum(
+                    1.0 - jnp.abs(ysg.reshape(grid, 1) - rr), 0.0
+                )
+                t2g = jax.lax.dot_general(
+                    g2, wyg, (((0,), (1,)), ((), ())),
+                    precision=HIGHEST, preferred_element_type=jnp.float32,
+                )  # (2*lanes, grid)
+                # Expand grid -> samples: sample s reads row i = s//grid.
+                # Exact 0/1 matmul (adds zeros; bitwise-transparent).
+                row_of = jax.lax.broadcasted_iota(
+                    jnp.int32, (grid, n_samples), 1
+                ) // grid
+                expand = (
+                    row_of
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (grid, n_samples), 0
+                    )
+                ).astype(jnp.float32)
+                t2 = jax.lax.dot_general(
+                    t2g, expand, (((1,), (0,)), ((), ())),
+                    precision=HIGHEST, preferred_element_type=jnp.float32,
+                )  # (2*lanes, S)
+                ccg = jax.lax.broadcasted_iota(
+                    jnp.int32, (lanes, grid), 0
+                ).astype(jnp.float32)
+                wxg = jnp.maximum(1.0 - jnp.abs(xs[:, :grid] - ccg), 0.0)
+                # x varies fastest (s % grid): tile the grid block.
+                wxt = pltpu.repeat(wxg, n_samples // grid, axis=1)
+            else:
+                rr = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_samples, rows), 1
+                ).astype(jnp.float32)
+                wy = jnp.maximum(
+                    1.0 - jnp.abs(ys.reshape(n_samples, 1) - rr), 0.0
+                )
+                # (2*lanes, S): per-lane y-interpolated gy|gx columns.
+                t2 = jax.lax.dot_general(
+                    g2, wy, (((0,), (1,)), ((), ())),
+                    precision=HIGHEST, preferred_element_type=jnp.float32,
+                )
+                cc = jax.lax.broadcasted_iota(
+                    jnp.int32, (lanes, n_samples), 0
+                ).astype(jnp.float32)
+                wxt = jnp.maximum(1.0 - jnp.abs(xs - cc), 0.0)
             gys = jnp.sum(t2[:lanes, :] * wxt, axis=0, keepdims=True)
             gxs = jnp.sum(t2[lanes:, :] * wxt, axis=0, keepdims=True)
             out_ref[pl.ds(i, 1), :] = jnp.concatenate([gys, gxs], axis=1)
@@ -232,7 +280,7 @@ def _make_kernel(n_oct: int, rows: int, lanes: int, n_samples: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows", "lanes", "interpret")
+    jax.jit, static_argnames=("rows", "lanes", "grid", "interpret")
 )
 def window_sample_pair(
     slabs: tuple,
@@ -241,6 +289,7 @@ def window_sample_pair(
     xs_loc: jax.Array,
     rows: int,
     lanes: int,
+    grid: int = 0,
     interpret: bool = False,
 ):
     """Bilinear (gy, gx) samples of all slots via per-slot window DMA.
@@ -259,7 +308,7 @@ def window_sample_pair(
     assert m % CHUNK == 0, m
     n_oct = len(slabs)
     out = pl.pallas_call(
-        _make_kernel(n_oct, rows, lanes, s),
+        _make_kernel(n_oct, rows, lanes, s, grid),
         grid=(m // CHUNK,),
         in_specs=[
             pl.BlockSpec((CHUNK, 5), lambda g: (g, 0), memory_space=pltpu.SMEM),
