@@ -10,7 +10,10 @@ import jax.numpy as jnp
 from sift_scale_space_extrema_detection_tpu import SiftConfig, detect
 from sift_scale_space_extrema_detection_tpu.sfm.ba import BAState
 from sift_scale_space_extrema_detection_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    remove_checkpoint,
     restore_checkpoint,
+    restore_checkpoint_flat,
     save_checkpoint,
 )
 from sift_scale_space_extrema_detection_tpu.utils.metrics import (
@@ -159,3 +162,20 @@ def test_quality_preset_detects_denser():
         ).sum()
     )
     assert n_quality >= 2 * n_parity, (n_parity, n_quality)
+
+
+def test_remove_checkpoint_mem_and_disk(tmp_path):
+    """remove_checkpoint evicts mem:// prefixes and deletes disk files."""
+    tree = {"a": np.arange(4.0), "frame": np.int64(3)}
+    mem = "mem://unit_test_sess"
+    save_checkpoint(mem, tree, step=1)
+    save_checkpoint(mem, tree, step=2)
+    assert checkpoint_exists(mem + "/step_2")
+    remove_checkpoint(mem)
+    assert not checkpoint_exists(mem + "/step_1")
+    assert not checkpoint_exists(mem + "/step_2")
+
+    path = save_checkpoint(str(tmp_path / "d"), tree, step=1)
+    assert restore_checkpoint_flat(path)["frame"] == 3
+    remove_checkpoint(path)
+    assert not checkpoint_exists(path)
