@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <pthread.h>
 #include <zlib.h>
 
@@ -394,9 +395,147 @@ void* worker(void* arg) {
   return nullptr;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming prefetcher: an ordered ring of decoded frames filled by a
+// pthread pool ahead of the consumer. The online SLAM session
+// (models/streaming.py) ingests one frame at a time; without a
+// prefetcher the disk decode serializes with the device work. Workers
+// claim frame indices in order and may fill ring slot (i % depth) once
+// the consumer has emitted frame i - depth; the consumer blocks on the
+// ring slot of the next in-order frame.
+struct Stream {
+  char** paths = nullptr;  // owned copies
+  int n = 0, width = 0, height = 0, depth = 0, nthreads = 0;
+  float* ring = nullptr;   // depth * h * w
+  int* slot_status = nullptr;  // decode rc per slot (valid when ready)
+  bool* slot_ready = nullptr;
+  pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
+  pthread_cond_t cv_prod = PTHREAD_COND_INITIALIZER;
+  pthread_cond_t cv_cons = PTHREAD_COND_INITIALIZER;
+  int next_fill = 0;  // next frame index a worker will claim
+  int next_emit = 0;  // next frame index the consumer will take
+  bool closed = false;
+  pthread_t tids[64];
+};
+
+void* stream_worker(void* arg) {
+  Stream* s = static_cast<Stream*>(arg);
+  for (;;) {
+    pthread_mutex_lock(&s->mu);
+    if (s->closed || s->next_fill >= s->n) {
+      pthread_mutex_unlock(&s->mu);
+      break;
+    }
+    int mine = s->next_fill++;
+    // Wait until the slot's previous occupant (mine - depth) was taken.
+    while (!s->closed && mine - s->next_emit >= s->depth)
+      pthread_cond_wait(&s->cv_prod, &s->mu);
+    bool closed = s->closed;
+    pthread_mutex_unlock(&s->mu);
+    if (closed) break;
+
+    unsigned char* buf = nullptr;
+    long size = 0;
+    int rc = read_file(s->paths[mine], &buf, &size);
+    Image img;
+    if (rc == 0) {
+      rc = decode_any(buf, size, &img);
+      std::free(buf);
+    }
+    if (rc == 0 && (img.width != s->width || img.height != s->height))
+      rc = -40;
+    int slot = mine % s->depth;
+    if (rc == 0)
+      to_gray(img,
+              s->ring + static_cast<long>(slot) * s->width * s->height);
+    std::free(img.data);
+
+    pthread_mutex_lock(&s->mu);
+    s->slot_status[slot] = rc;
+    s->slot_ready[slot] = true;
+    pthread_cond_broadcast(&s->cv_cons);
+    pthread_mutex_unlock(&s->mu);
+  }
+  return nullptr;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Open a prefetching stream over n same-sized images. `depth` frames
+// are decoded ahead across `threads` pthreads. Returns an opaque
+// handle (NULL on allocation failure).
+void* sift_io_stream_open(const char* const* paths, int n, int width,
+                          int height, int threads, int depth) {
+  if (n <= 0 || depth < 1) return nullptr;
+  Stream* s = new (std::nothrow) Stream();
+  if (!s) return nullptr;
+  if (depth > n) depth = n;
+  if (threads < 1) threads = 1;
+  if (threads > depth) threads = depth;
+  if (threads > 64) threads = 64;
+  s->n = n;
+  s->width = width;
+  s->height = height;
+  s->depth = depth;
+  s->nthreads = threads;
+  s->paths = static_cast<char**>(std::malloc(sizeof(char*) * n));
+  for (int i = 0; i < n; i++) s->paths[i] = strdup(paths[i]);
+  s->ring = static_cast<float*>(
+      std::malloc(sizeof(float) * static_cast<long>(depth) * width * height));
+  s->slot_status = static_cast<int*>(std::calloc(depth, sizeof(int)));
+  s->slot_ready = static_cast<bool*>(std::calloc(depth, sizeof(bool)));
+  if (!s->paths || !s->ring || !s->slot_status || !s->slot_ready) {
+    delete s;
+    return nullptr;
+  }
+  for (int t = 0; t < threads; t++)
+    pthread_create(&s->tids[t], nullptr, stream_worker, s);
+  return s;
+}
+
+// Block until the next in-order frame is decoded; copy it into `out`
+// (h*w floats). Returns the frame index, -1 past the end, or the
+// negative decode error code for that frame (the stream then advances).
+int sift_io_stream_next(void* handle, float* out) {
+  Stream* s = static_cast<Stream*>(handle);
+  pthread_mutex_lock(&s->mu);
+  if (s->next_emit >= s->n) {
+    pthread_mutex_unlock(&s->mu);
+    return -1;
+  }
+  int idx = s->next_emit;
+  int slot = idx % s->depth;
+  while (!s->slot_ready[slot]) pthread_cond_wait(&s->cv_cons, &s->mu);
+  int rc = s->slot_status[slot];
+  if (rc == 0)
+    std::memcpy(out,
+                s->ring + static_cast<long>(slot) * s->width * s->height,
+                sizeof(float) * static_cast<long>(s->width) * s->height);
+  s->slot_ready[slot] = false;
+  s->next_emit++;
+  pthread_cond_broadcast(&s->cv_prod);
+  pthread_mutex_unlock(&s->mu);
+  return rc == 0 ? idx : rc;
+}
+
+// Stop workers and free the stream.
+void sift_io_stream_close(void* handle) {
+  Stream* s = static_cast<Stream*>(handle);
+  pthread_mutex_lock(&s->mu);
+  s->closed = true;
+  pthread_cond_broadcast(&s->cv_prod);
+  pthread_cond_broadcast(&s->cv_cons);
+  pthread_mutex_unlock(&s->mu);
+  for (int t = 0; t < s->nthreads; t++) pthread_join(s->tids[t], nullptr);
+  for (int i = 0; i < s->n; i++) std::free(s->paths[i]);
+  std::free(s->paths);
+  std::free(s->ring);
+  std::free(s->slot_status);
+  std::free(s->slot_ready);
+  delete s;
+}
 
 // Probe an image's dimensions. Returns 0 and fills (w, h) on success.
 int sift_io_probe(const char* path, int* width, int* height) {

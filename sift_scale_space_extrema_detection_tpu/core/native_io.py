@@ -28,27 +28,35 @@ class NativeIOError(RuntimeError):
     pass
 
 
+def _build_library():
+    src = os.path.join(_NATIVE_DIR, "sift_io.cpp")
+    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
+    subprocess.run(
+        [
+            "g++", "-O3", "-shared", "-fPIC", "-pthread",
+            "-o", tmp, src, "-lz",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(tmp, _LIB_PATH)
+
+
 def _load_library():
     global _lib
     if _lib is not None:
         return _lib
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(
+        _LIB_PATH
+    ) < os.path.getmtime(os.path.join(_NATIVE_DIR, "sift_io.cpp")):
+        _build_library()  # stale build: source is newer than the .so
     if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "sift_io.cpp")
-        os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
         # Link to a process-unique temp path and rename into place:
         # rename is atomic on the same filesystem, so a concurrent
         # process (this repo deliberately spawns multi-process fake
         # clusters) can never dlopen a partially written library.
-        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
-        subprocess.run(
-            [
-                "g++", "-O3", "-shared", "-fPIC", "-pthread",
-                "-o", tmp, src, "-lz",
-            ],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(tmp, _LIB_PATH)
+        _build_library()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.sift_io_probe.restype = ctypes.c_int
     lib.sift_io_probe.argtypes = [
@@ -56,6 +64,17 @@ def _load_library():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sift_io_stream_open.restype = ctypes.c_void_p
+    lib.sift_io_stream_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.sift_io_stream_next.restype = ctypes.c_int
+    lib.sift_io_stream_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.sift_io_stream_close.restype = None
+    lib.sift_io_stream_close.argtypes = [ctypes.c_void_p]
     lib.sift_io_load_batch_gray.restype = ctypes.c_int
     lib.sift_io_load_batch_gray.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -68,6 +87,78 @@ def _load_library():
     ]
     _lib = lib
     return lib
+
+
+class SequencePrefetcher:
+    """Ordered, prefetching frame iterator over an image sequence.
+
+    Wraps the native pthread ring-buffer stream
+    (``sift_io_stream_open/next/close``): ``depth`` frames are decoded
+    ahead of the consumer, so disk decode overlaps the device work of an
+    online consumer (e.g. ``SlamSession.add_frame``). Falls back to
+    synchronous single-image loads when the native library is
+    unavailable. Iterate to get ``(H, W)`` float32 frames in [0, 1];
+    use as a context manager (or let iteration exhaust) to release the
+    native stream.
+    """
+
+    def __init__(self, paths, threads: int = 4, depth: int = 8):
+        self.paths = list(paths)
+        self._handle = None
+        self._fallback_iter = None
+        if not self.paths:
+            return
+        try:
+            lib = _load_library()
+            w, h = probe(self.paths[0])
+            self._w, self._h = w, h
+            c_paths = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths]
+            )
+            handle = lib.sift_io_stream_open(
+                c_paths, len(self.paths), w, h, threads, depth
+            )
+            if not handle:
+                raise NativeIOError("stream_open failed")
+            self._handle = ctypes.c_void_p(handle)
+        except Exception:
+            self._handle = None
+
+    def __iter__(self):
+        if self._handle is None:
+            from .image import load_image_gray
+
+            for p in self.paths:
+                yield load_image_gray(p, dtype=np.float32)
+            return
+        lib = _load_library()
+        out = np.empty((self._h, self._w), np.float32)
+        try:
+            while True:
+                rc = lib.sift_io_stream_next(
+                    self._handle,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+                if rc == -1:
+                    break
+                if rc < -1:
+                    raise NativeIOError(
+                        f"frame decode failed with code {rc}"
+                    )
+                yield out.copy()
+        finally:
+            self.close()
+
+    def close(self):
+        if self._handle is not None:
+            _load_library().sift_io_stream_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def native_available() -> bool:

@@ -88,3 +88,37 @@ def test_pgm_nonstandard_maxval(tmp_path):
         f.write(g.tobytes())
     out = native_io.load_batch_gray([p], fallback=False)
     np.testing.assert_allclose(out[0], g / 63.0, atol=1e-6)
+
+
+def test_sequence_prefetcher_streams_in_order(tmp_path):
+    """Prefetcher yields every frame, in order, equal to the batch load.
+
+    depth < n forces ring-slot reuse; threads > 1 exercises the
+    producer ordering under contention."""
+    rng = np.random.default_rng(5)
+    paths, grays = [], []
+    for i in range(23):
+        g = rng.integers(0, 256, size=(12, 16), dtype=np.uint8)
+        p = str(tmp_path / f"s{i:03d}.pgm")
+        _write_pgm(p, g)
+        paths.append(p)
+        grays.append(g / 255.0)
+    got = list(native_io.SequencePrefetcher(paths, threads=3, depth=4))
+    assert len(got) == 23
+    np.testing.assert_allclose(np.stack(got), np.stack(grays), atol=1e-6)
+
+
+def test_sequence_prefetcher_early_close(tmp_path):
+    """Closing mid-stream must not deadlock or leak worker threads."""
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(12):
+        p = str(tmp_path / f"e{i}.pgm")
+        _write_pgm(p, rng.integers(0, 256, size=(10, 10), dtype=np.uint8))
+        paths.append(p)
+    pf = native_io.SequencePrefetcher(paths, threads=2, depth=3)
+    it = iter(pf)
+    next(it)
+    next(it)
+    pf.close()  # workers must join despite 10 undelivered frames
+    pf.close()  # idempotent
