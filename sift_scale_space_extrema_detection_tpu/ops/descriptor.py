@@ -680,6 +680,11 @@ def describe_compact_batched_windowed(
         )
         ys_loc = ys_flat - r0.astype(dtype)[:, None]
         xs_loc = xs_cl - c0.astype(dtype)[:, None]
+        if grid:
+            # Separable stages pass only the grid's DISTINCT coords:
+            # rows vary every ``grid`` samples, cols repeat each block.
+            ys_loc = ys_loc[:, ::grid]
+            xs_loc = xs_loc[:, :grid]
         m = ys.shape[0]
         m_pad = -(-m // CHUNK) * CHUNK
         pad = m_pad - m

@@ -217,12 +217,13 @@ def _make_kernel(
             )
             g2 = jnp.concatenate([gy, gx], axis=1)  # (rows, 2*lanes)
 
-            ys = ys_ref[pl.ds(i, 1), :]  # (1, S) window-local
-            xs = xs_ref[pl.ds(i, 1), :]
             if grid > 0:
-                # Axis-aligned grid: row coords repeat in blocks of
-                # ``grid`` (sample s = (i, j) has y = y_i, x = x_j).
-                ysg = ys[:, :: grid]  # (1, grid) distinct row coords
+                # Axis-aligned grid: sample s = (i, j) has y = y_i,
+                # x = x_j; the refs hold the grid DISTINCT coords
+                # (1, grid) — subset in XLA, strided lane slices are
+                # not Mosaic-safe in-kernel.
+                ysg = ys_ref[pl.ds(i, 1), :]  # (1, grid)
+                xs = xs_ref[pl.ds(i, 1), :]
                 rr = jax.lax.broadcasted_iota(
                     jnp.int32, (grid, rows), 1
                 ).astype(jnp.float32)
@@ -251,10 +252,12 @@ def _make_kernel(
                 ccg = jax.lax.broadcasted_iota(
                     jnp.int32, (lanes, grid), 0
                 ).astype(jnp.float32)
-                wxg = jnp.maximum(1.0 - jnp.abs(xs[:, :grid] - ccg), 0.0)
+                wxg = jnp.maximum(1.0 - jnp.abs(xs - ccg), 0.0)
                 # x varies fastest (s % grid): tile the grid block.
                 wxt = pltpu.repeat(wxg, n_samples // grid, axis=1)
             else:
+                ys = ys_ref[pl.ds(i, 1), :]  # (1, S) window-local
+                xs = xs_ref[pl.ds(i, 1), :]
                 rr = jax.lax.broadcasted_iota(
                     jnp.int32, (n_samples, rows), 1
                 ).astype(jnp.float32)
@@ -304,7 +307,8 @@ def window_sample_pair(
     arbitrarily; their outputs are garbage). Returns (gy, gx) of
     (M, S) f32.
     """
-    m, s = ys_loc.shape
+    m, cw = ys_loc.shape  # cw = S (general) or grid (separable)
+    s = cw * cw if grid > 0 else cw
     assert m % CHUNK == 0, m
     n_oct = len(slabs)
     out = pl.pallas_call(
@@ -312,8 +316,8 @@ def window_sample_pair(
         grid=(m // CHUNK,),
         in_specs=[
             pl.BlockSpec((CHUNK, 5), lambda g: (g, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK, s), lambda g: (g, 0)),
-            pl.BlockSpec((CHUNK, s), lambda g: (g, 0)),
+            pl.BlockSpec((CHUNK, cw), lambda g: (g, 0)),
+            pl.BlockSpec((CHUNK, cw), lambda g: (g, 0)),
         ]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_oct)],
         out_specs=pl.BlockSpec((CHUNK, 2 * s), lambda g: (g, 0)),
