@@ -38,6 +38,19 @@ class KittiSequence:
 
         return load_batch_gray(self.image_paths, threads=threads)
 
+    def stream_frames(self, threads: int = 4, depth: int = 8):
+        """Prefetching frame iterator for online consumption.
+
+        Decodes ``depth`` frames ahead across a native pthread pool
+        (core/native_io.py::SequencePrefetcher) so disk decode overlaps
+        an online consumer's device work (e.g. SlamSession.add_frame).
+        """
+        from ..core.native_io import SequencePrefetcher
+
+        return SequencePrefetcher(
+            self.image_paths, threads=threads, depth=depth
+        )
+
 
 def read_calib(path: str, camera: int = 0) -> np.ndarray:
     """Intrinsics K from a KITTI ``calib.txt`` ``P{camera}:`` line.

@@ -51,6 +51,19 @@ class TumSequence:
 
         return load_batch_gray(self.image_paths, threads=threads)
 
+    def stream_frames(self, threads: int = 4, depth: int = 8):
+        """Prefetching frame iterator for online consumption.
+
+        Decodes ``depth`` frames ahead across a native pthread pool
+        (core/native_io.py::SequencePrefetcher) so disk decode overlaps
+        an online consumer's device work (e.g. SlamSession.add_frame).
+        """
+        from ..core.native_io import SequencePrefetcher
+
+        return SequencePrefetcher(
+            self.image_paths, threads=threads, depth=depth
+        )
+
 
 def _read_stamped_file(path: str):
     """Parse ``timestamp v1 v2 ...`` lines, skipping ``#`` comments."""
