@@ -109,7 +109,14 @@ def build_pyramid_fused(
     batch_shape = images.shape[:-2]
     flat = images.reshape((-1,) + images.shape[-2:])
     base = flat  # octave 0's 2x NN upsample happens lazily (see below)
-    on_tpu = jax.default_backend() == "tpu"
+    # Same default_device-aware check as window_describe_supported: a
+    # CPU-pinned trace must not pick the Pallas kernel path.
+    _dd = jax.config.jax_default_device
+    on_tpu = (
+        getattr(_dd, "platform", None) == "tpu"
+        if _dd is not None
+        else jax.default_backend() == "tpu"
+    )
     scale_space: list[jax.Array] = []
     dogs: list[jax.Array] = []
     masks_out: list[jax.Array | None] = []

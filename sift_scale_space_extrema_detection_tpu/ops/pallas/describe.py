@@ -335,4 +335,13 @@ def window_describe_supported(cfg, interpret: bool = False) -> bool:
     """Gate: windowed describe runs on TPU (or in interpret mode)."""
     if not (cfg.compact_describe and cfg.window_describe):
         return False
-    return interpret or jax.default_backend() == "tpu"
+    if interpret:
+        return True
+    # ``jax.default_backend()`` ignores an active ``jax.default_device``
+    # override (it reports the highest-priority platform), so a CPU-pinned
+    # trace — e.g. the tpu_parity benchmark's CPU leg — would wrongly take
+    # the Pallas path. Honor the override when one is set.
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
