@@ -92,6 +92,12 @@ def main() -> None:
         "--breakdown", action="store_true", help="per-stage timing (dense)"
     )
     ap.add_argument(
+        "--assembly",
+        choices=["sorted", "scatter"],
+        default="sorted",
+        help="dense-path landmark-side assembly (A/B; see sfm/ba.py)",
+    )
+    ap.add_argument(
         "--cpu",
         action="store_true",
         help="force the CPU backend (the axon sitecustomize overrides "
@@ -131,6 +137,7 @@ def main() -> None:
         num_iterations=args.iters,
         solver=args.solver,
         cg_iterations=args.cg_iters,
+        assembly=args.assembly,
     )
     for _ in range(2):  # compile + first post-compile run (~1.7x slower)
         out, cost = run()

@@ -245,6 +245,134 @@ def _segment_sum_fast(data, seg, num_segments: int):
     return out.reshape((num_segments,) + data.shape[1:])
 
 
+def _build_sorted_tables(camera, landmark, valid, num_landmarks, pad_m):
+    """Sort-by-landmark index tables for the gather-side assembly.
+
+    Everything here is state-independent (ids/validity only), so a
+    solver computes it ONCE per solve and reuses it every LM iteration.
+    Invalid observations sort to a sentinel bucket past the last
+    landmark and never enter any run. Returns ``(order (O,), pad_idx
+    (L, pad_m) indices into the SORTED rows, pad_mask (L, pad_m) bool,
+    cam_pad (L, pad_m) int32)``.
+
+    ``pad_m`` must bound the max valid observations of one landmark;
+    ``num_cameras`` is a hard bound under the one-observation-per-
+    (camera, landmark) contract every caller in this repo satisfies.
+    """
+    o = camera.shape[0]
+    key = jnp.where(valid, landmark, num_landmarks).astype(jnp.int32)
+    order = jnp.argsort(key)
+    key_sorted = key[order]
+    lids = jnp.arange(num_landmarks, dtype=jnp.int32)
+    starts = jnp.searchsorted(key_sorted, lids, side="left")
+    ends = jnp.searchsorted(key_sorted, lids, side="right")
+    counts = ends - starts
+    m = jnp.arange(pad_m, dtype=jnp.int32)
+    pad_idx = jnp.clip(starts[:, None] + m[None, :], 0, o - 1)
+    pad_mask = m[None, :] < counts[:, None]
+    cam_pad = camera[order][pad_idx]
+    return order, pad_idx, pad_mask, cam_pad
+
+
+# Padded per-landmark rows are gathered at width 32: the row-gather
+# engine runs at ~10-17 ns per ROW nearly independent of width (probe
+# 2026-08-21: w12 0.9 ns/el, w32 0.33 ns/el, but w18 was 2.7x slower
+# per row than w32 - non-tile-friendly widths pay), so one 32-wide
+# gather feeds all three landmark-side reductions.
+_SORTED_ROW_W = 32
+
+
+def _schur_pieces_sorted(
+    rots,
+    ts,
+    kmat,
+    points,
+    cam,
+    lm,
+    uv,
+    valid,
+    lam,
+    num_cameras: int,
+    tables,
+    obs_weight=None,
+) -> SchurPieces:
+    """Dense-path Schur pieces with gather-side landmark reductions.
+
+    The scatter-engine ``segment_sum``s of :func:`shard_schur_pieces`
+    (~12 ns/scattered element; BASELINE.md round 3) are replaced by one
+    padded row-gather of the sorted per-observation rows (row gathers
+    run at ~1 ns/element, probe 2026-08-21) followed by dense masked
+    reductions, and the W coupling by a one-hot slot einsum on the MXU.
+    Inputs must already be in sorted-by-landmark order (apply
+    ``tables.order`` to the observation buffer first); ``tables`` is the
+    :func:`_build_sorted_tables` result.
+    """
+    dtype = points.dtype
+    _, pad_idx, pad_mask, cam_pad = tables
+    l_total = points.shape[0]
+    pad_m = pad_idx.shape[1]
+    o = cam.shape[0]
+
+    x = points[jnp.clip(lm, 0, l_total - 1)]
+    res, jc, jl = _obs_terms(rots, ts, kmat, x, cam, uv, valid)
+    res, jc, jl = _apply_sqrt_weight(res, jc, jl, obs_weight)
+
+    # Camera side: already MXU one-hot (cameras are few).
+    h_cc = _segment_sum_fast(
+        jnp.einsum("oki,okj->oij", jc, jc), cam, num_cameras
+    )
+    b_c = _segment_sum_fast(
+        -jnp.einsum("oki,ok->oi", jc, res), cam, num_cameras
+    )
+
+    # Landmark side: ONE padded row gather feeds h_ll, b_l and W.
+    row = jnp.concatenate(
+        [jl.reshape(o, 6), res, jc.reshape(o, 12)], axis=1
+    )
+    row = jnp.pad(row, ((0, 0), (0, _SORTED_ROW_W - row.shape[1])))
+    g = jnp.take(row, pad_idx.reshape(-1), axis=0).reshape(
+        l_total, pad_m, _SORTED_ROW_W
+    )
+    g = g * pad_mask[:, :, None].astype(dtype)
+    jl_p = g[..., :6].reshape(l_total, pad_m, 2, 3)
+    res_p = g[..., 6:8]
+    jc_p = g[..., 8:20].reshape(l_total, pad_m, 2, 6)
+
+    hp = jax.lax.Precision.HIGHEST
+    h_ll = jnp.einsum("lmki,lmkj->lij", jl_p, jl_p, precision=hp)
+    b_l = -jnp.einsum("lmki,lmk->li", jl_p, res_p, precision=hp)
+
+    # W via one-hot slot einsum, one-hot built fused (reading a
+    # materialized (L, M, C) one-hot from HBM measured SLOWER than
+    # regenerating it from cam_pad - probe C variants).
+    wblk = jnp.einsum("lmki,lmkj->lmij", jc_p, jl_p, precision=hp)
+    onehot = (
+        cam_pad[:, :, None]
+        == jnp.arange(num_cameras, dtype=jnp.int32)[None, None, :]
+    ).astype(dtype)
+    w = jnp.einsum(
+        "lmc,lmij->clij",
+        onehot,
+        wblk,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    )
+
+    h_ll_inv = jnp.linalg.inv(_damp(h_ll, jnp.eye(3, dtype=dtype), lam))
+    w_hinv = jnp.einsum("clij,ljk->clik", w, h_ll_inv)
+    c = num_cameras
+    w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(c * 6, l_total * 3)
+    wh2 = jnp.transpose(w_hinv, (0, 2, 1, 3)).reshape(c * 6, l_total * 3)
+    s_off = jnp.dot(
+        wh2,
+        w2.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    ).reshape(c, 6, c, 6)
+    rhs_off = (wh2 @ b_l.reshape(l_total * 3)).reshape(c, 6)
+    return SchurPieces(h_cc, b_c, s_off, rhs_off, w2, h_ll_inv, b_l)
+
+
 def _normal_blocks(res, jc, jl, cam, num_cameras, seg, num_segments):
     """Camera/landmark normal-equation blocks via segment reduction.
 
@@ -500,6 +628,8 @@ def _cg_delta(
         "num_fixed_cameras",
         "solver",
         "cg_iterations",
+        "assembly",
+        "sorted_pad",
     ),
 )
 def bundle_adjust(
@@ -510,6 +640,8 @@ def bundle_adjust(
     huber_delta: float | None = None,
     solver: str = "dense",
     cg_iterations: int = 32,
+    assembly: str = "sorted",
+    sorted_pad: int = 0,
 ) -> tuple[BAState, jax.Array]:
     """Levenberg-Marquardt BA. Returns (refined state, final cost).
 
@@ -517,6 +649,16 @@ def bundle_adjust(
     observations; ``None`` is plain least squares. ``solver="dense"``
     materializes the coupling block (fast at SLAM-window scale);
     ``solver="cg"`` is the matrix-free path for large maps.
+
+    ``assembly``: ``"sorted"`` (default; dense solver only) sorts the
+    observation buffer by landmark once per solve and runs the
+    landmark-side reductions gather-side (:func:`_schur_pieces_sorted` —
+    the scatter engine's ~12 ns/element vs ~1 ns/element row gathers);
+    ``"scatter"`` is the ``segment_sum`` path (also what the
+    distributed solver uses per shard). ``sorted_pad`` bounds the max
+    observations of one landmark (0 → ``num_cameras``, the hard bound
+    under the one-obs-per-(camera, landmark) contract; pass the true
+    host-known max to shrink the padded gather).
     """
     num_cameras = state.rotations.shape[0]
     dtype = state.points.dtype
@@ -531,12 +673,43 @@ def bundle_adjust(
             reprojection_residuals(s, obs), huber_delta, dtype
         )
 
+    use_sorted = assembly == "sorted" and solver == "dense"
+    if use_sorted:
+        pad_m = sorted_pad if sorted_pad > 0 else num_cameras
+        pad_m = min(pad_m, obs.capacity)
+        tables = _build_sorted_tables(
+            obs.camera, obs.landmark, obs.valid,
+            state.points.shape[0], pad_m,
+        )
+        order = tables[0]
+        obs = Observations(
+            camera=obs.camera[order],
+            landmark=obs.landmark[order],
+            uv=obs.uv[order],
+            valid=obs.valid[order],
+        )
+
     lam = jnp.asarray(1e-4, dtype)
     cost = cost_of(state)
     for _ in range(num_iterations):
         if solver == "cg":
             delta_c, delta_l = _cg_delta(
                 state, obs, lam, num_fixed_cameras, cg_iterations,
+                weights_of(state),
+            )
+        elif use_sorted:
+            pieces = _schur_pieces_sorted(
+                state.rotations,
+                state.translations,
+                state.k_mat,
+                state.points,
+                obs.camera,
+                obs.landmark,
+                obs.uv,
+                obs.valid,
+                lam,
+                num_cameras,
+                tables,
                 weights_of(state),
             )
         else:
@@ -553,6 +726,7 @@ def bundle_adjust(
                 num_cameras,
                 weights_of(state),
             )
+        if solver != "cg":
             delta_c = solve_reduced(
                 pieces.h_cc,
                 pieces.b_c,
