@@ -118,6 +118,22 @@ def _prof_iter(iterable, st, name):
             yield item
 
 
+def _sorted_pad(lm: np.ndarray, valid: np.ndarray | None = None) -> int:
+    """Power-of-two bound on max valid observations per landmark.
+
+    Passed as ``bundle_adjust(sorted_pad=...)`` so the sorted assembly's
+    padded gather is sized to the data instead of the ``num_cameras``
+    hard bound (which for the final BA is the whole trajectory length).
+    Power-of-two bucketing bounds recompiles.
+    """
+    if valid is not None:
+        lm = lm[valid]
+    if len(lm) == 0:
+        return 1
+    m = int(np.bincount(lm).max())
+    return 1 << max(0, (m - 1).bit_length())
+
+
 def _pad_obs(cam, lm, uv, valid):
     """Pad observation buffers to the next power-of-two bucket."""
     n = len(cam)
@@ -227,7 +243,7 @@ def run_slam(
     k_jnp = jnp.asarray(k_mat)
     fx = k_mat[0, 0]
 
-    def _ba(state, obs, num_iterations, num_fixed_cameras):
+    def _ba(state, obs, num_iterations, num_fixed_cameras, sorted_pad=0):
         # Shard the landmark block only when it is big enough to pay
         # for the Schur psum: below ``dist_ba_min_landmarks`` the
         # collective latency exceeds the sharded compute (composed
@@ -253,6 +269,7 @@ def run_slam(
             num_iterations=num_iterations,
             num_fixed_cameras=num_fixed_cameras,
             huber_delta=cfg.huber_px,
+            sorted_pad=sorted_pad,
         )
 
     est_r = np.zeros((num_frames, 3, 3))
@@ -636,13 +653,17 @@ def run_slam(
                     points=jnp.asarray(np.nan_to_num(points, nan=1.0)),
                     k_mat=k_jnp,
                 )
+                lm_cat = np.concatenate(obs_lm)
                 obs = _pad_obs(
                     np.concatenate(obs_cam),
-                    np.concatenate(obs_lm),
+                    lm_cat,
                     np.concatenate(obs_uv),
                     np.ones(n_obs, bool),
                 )
-                refined, _ = _ba(state, obs, cfg.ba_iterations, fixed)
+                refined, _ = _ba(
+                    state, obs, cfg.ba_iterations, fixed,
+                    sorted_pad=_sorted_pad(lm_cat),
+                )
                 r_h, t_h, upd = jax.device_get(
                     (refined.rotations, refined.translations, refined.points)
                 )
@@ -740,7 +761,10 @@ def run_slam(
                 k_mat=k_jnp,
             )
             obs = _pad_obs(oc, ol, ouv, obs_valid)
-            refined, _ = _ba(state, obs, cfg.final_ba_iterations, 1)
+            refined, _ = _ba(
+                state, obs, cfg.final_ba_iterations, 1,
+                sorted_pad=_sorted_pad(ol, obs_valid),
+            )
             est_r = np.asarray(refined.rotations)
             est_t = np.asarray(refined.translations)
             upd = np.asarray(refined.points)

@@ -235,3 +235,57 @@ def test_ba_cg_huber():
     # The two solvers downweight the (one-sided) outliers equally well.
     assert abs(cg_err - dense_err) < 0.02
     assert cg_err < 0.1
+
+
+def test_sorted_assembly_matches_scatter():
+    """Gather-side assembly == scatter assembly (round-5 adoption).
+
+    Mixed validity + a sorted_pad below num_cameras (but >= the true max
+    run length) exercise the sentinel bucket and the padded index
+    tables; x64 makes reorder drift ~1e-12.
+    """
+    rng = np.random.default_rng(7)
+    truth, obs = make_scene(rng, n_cams=7, n_pts=90, noise_px=0.4)
+    # Knock out ~20% of observations, scattered arbitrarily.
+    valid = np.asarray(obs.valid).copy()
+    valid[rng.random(valid.shape) < 0.2] = False
+    obs = Observations(
+        camera=obs.camera, landmark=obs.landmark, uv=obs.uv,
+        valid=jnp.asarray(valid),
+    )
+    init = perturb(rng, truth)
+
+    ref, cost_ref = bundle_adjust(
+        init, obs, num_iterations=6, assembly="scatter"
+    )
+    for pad in (0, 8):  # 0 -> num_cameras hard bound; 8 >= max count 7
+        got, cost_got = bundle_adjust(
+            init, obs, num_iterations=6, assembly="sorted", sorted_pad=pad
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.translations),
+            np.asarray(ref.translations),
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.points), np.asarray(ref.points), atol=1e-7
+        )
+        assert abs(float(cost_got) - float(cost_ref)) < 1e-7 * max(
+            1.0, float(cost_ref)
+        )
+
+
+def test_sorted_assembly_huber_matches_scatter():
+    rng = np.random.default_rng(11)
+    truth, obs = make_scene(rng, n_cams=5, n_pts=70, noise_px=0.3)
+    init = perturb(rng, truth)
+    ref, _ = bundle_adjust(
+        init, obs, num_iterations=5, huber_delta=2.0, assembly="scatter"
+    )
+    got, _ = bundle_adjust(
+        init, obs, num_iterations=5, huber_delta=2.0, assembly="sorted"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.translations), np.asarray(ref.translations),
+        atol=1e-8,
+    )
